@@ -1,0 +1,150 @@
+"""EmbeddingCollection — per-slot tables as dim-grouped stacked matrices.
+
+The reference gives every categorical slot its own replica-local
+``LookupTable`` (SURVEY.md §2a #8, BASELINE.json:5 "local embedding
+matrices"). The TPU-native design instead stacks all slots that share an
+embedding dim into ONE ``[total_rows, dim]`` matrix per dim group:
+
+  * one fused gather per group instead of 26 small gathers (HBM-friendly:
+    each lookup is a single large dynamic-gather XLA op / Pallas kernel);
+  * a single flat row index space per group is exactly what row-sharding
+    needs — shard rows round-robin (``row % n_shards``) across the mesh and
+    exchange indices with one all_to_all (parallel/sharded_embedding.py);
+  * per-slot dims (BASELINE.json:9) become multiple groups; slots are
+    reassembled into ``[B, n_slots, max_dim]`` with zero padding, which is
+    exact for every downstream interaction op (ops/interactions.py docstring).
+
+Training path: models never differentiate through the gather. The train step
+gathers rows, differentiates the loss wrt the *gathered rows*, and applies a
+sparse row-wise optimizer update (embedding/optim.py). This keeps gradients
+O(batch) instead of O(vocab) — the TPU replacement for BigDL's
+LookupTable.backward scatter-add hot spot (SURVEY.md §3.2).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from recmodels_tpu.data.schema import Schema
+
+
+@dataclasses.dataclass(frozen=True)
+class DimGroup:
+    """Slots sharing one embedding dim, stacked into one table."""
+
+    name: str
+    dim: int
+    slot_indices: tuple[int, ...]  # positions in schema.slots
+    row_offsets: tuple[int, ...]  # per slot, offset into the stacked table
+    total_rows: int
+
+
+def build_groups(schema: Schema) -> tuple[DimGroup, ...]:
+    by_dim: dict[int, list[int]] = {}
+    for i, spec in enumerate(schema.slots):
+        by_dim.setdefault(spec.embed_dim, []).append(i)
+    groups = []
+    for dim in sorted(by_dim):
+        slots = by_dim[dim]
+        offsets, acc = [], 0
+        for s in slots:
+            offsets.append(acc)
+            acc += schema.slots[s].vocab_size
+        groups.append(
+            DimGroup(
+                name=f"d{dim}",
+                dim=dim,
+                slot_indices=tuple(slots),
+                row_offsets=tuple(offsets),
+                total_rows=acc,
+            )
+        )
+    return tuple(groups)
+
+
+class EmbeddingCollection:
+    """Stateless descriptor + functional ops over embedding table params.
+
+    Params pytree: ``{group.name: f32[total_rows, dim]}``.
+    """
+
+    def __init__(self, schema: Schema, dtype=jnp.float32):
+        self.schema = schema
+        self.dtype = dtype
+        self.groups = build_groups(schema)
+        self.max_dim = schema.max_dim
+        # host-side constant lookup tables for slot -> (group, offset)
+        self._np_offsets = {
+            g.name: np.asarray(g.row_offsets, dtype=np.int32) for g in self.groups
+        }
+
+    # ---------------------------------------------------------------- init
+    def init(self, rng: jax.Array, scale: float | None = None) -> Dict[str, jnp.ndarray]:
+        """Default init: dim-1 (first-order weight) groups start at zero, like
+        LR/FM linear terms; vector groups N(0, 0.05) per the DeepFM/xDeepFM
+        convention of small-normal embedding init."""
+        params = {}
+        for g in self.groups:
+            rng, sub = jax.random.split(rng)
+            s = scale if scale is not None else (0.0 if g.dim == 1 else 0.05)
+            params[g.name] = (
+                jax.random.normal(sub, (g.total_rows, g.dim), dtype=jnp.float32) * s
+            ).astype(self.dtype)
+        return params
+
+    def param_shapes(self) -> Dict[str, tuple[int, int]]:
+        return {g.name: (g.total_rows, g.dim) for g in self.groups}
+
+    # ------------------------------------------------------------ indexing
+    def group_row_ids(self, ids: jnp.ndarray) -> Dict[str, jnp.ndarray]:
+        """[B, n_slots] slot-local ids -> per-group global row ids [B, n_g]."""
+        out = {}
+        for g in self.groups:
+            cols = ids[:, np.asarray(g.slot_indices, dtype=np.int32)]
+            out[g.name] = cols + jnp.asarray(self._np_offsets[g.name])[None, :]
+        return out
+
+    # ------------------------------------------------------------- lookup
+    def gather_rows(
+        self, params: Dict[str, jnp.ndarray], gids: Dict[str, jnp.ndarray]
+    ) -> Dict[str, jnp.ndarray]:
+        """Per-group gather: {g: [B, n_g]} -> {g: [B, n_g, dim]}."""
+        return {g.name: params[g.name][gids[g.name]] for g in self.groups}
+
+    def combine(self, rows: Dict[str, jnp.ndarray]) -> jnp.ndarray:
+        """Reassemble per-group rows into [B, n_slots, max_dim], zero-padded.
+
+        Differentiable; ``split_grad`` is its exact transpose.
+        """
+        some = next(iter(rows.values()))
+        b = some.shape[0]
+        out = jnp.zeros((b, self.schema.n_slots, self.max_dim), dtype=some.dtype)
+        for g in self.groups:
+            r = rows[g.name]
+            if g.dim < self.max_dim:
+                r = jnp.pad(r, ((0, 0), (0, 0), (0, self.max_dim - g.dim)))
+            out = out.at[:, np.asarray(g.slot_indices, dtype=np.int32), :].set(r)
+        return out
+
+    def split_grad(self, emb_grad: jnp.ndarray) -> Dict[str, jnp.ndarray]:
+        """[B, n_slots, max_dim] cotangent -> per-group [B, n_g, dim]."""
+        out = {}
+        for g in self.groups:
+            sl = emb_grad[:, np.asarray(g.slot_indices, dtype=np.int32), : g.dim]
+            out[g.name] = sl
+        return out
+
+    def lookup(self, params: Dict[str, jnp.ndarray], ids: jnp.ndarray) -> jnp.ndarray:
+        """Inference-path lookup: [B, n_slots] ids -> [B, n_slots, max_dim]."""
+        gids = self.group_row_ids(ids)
+        return self.combine(self.gather_rows(params, gids))
+
+    # --------------------------------------------------------------- misc
+    def nbytes(self) -> int:
+        per = jnp.dtype(self.dtype).itemsize
+        return sum(g.total_rows * g.dim * per for g in self.groups)

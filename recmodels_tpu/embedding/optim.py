@@ -1,0 +1,125 @@
+"""Sparse row-wise embedding optimizers (Adagrad / lazy Adam).
+
+The reference trains with BigDL Adam/Adagrad applied to dense parameter
+partitions (SURVEY.md §2a #11, §3.4). For embedding tables that is wasteful
+on TPU — gradients touch only O(batch) rows — so the TPU-native design keeps
+optimizer state sharded with its rows and updates *touched rows only*:
+
+  1. flatten this step's (row_id, grad_row) pairs;
+  2. ``dedup_segment_sum``: sort by row id + segment-sum so duplicate ids
+     accumulate exactly once (SURVEY.md §7 hard part 1 "duplicate-ID gradient
+     accumulation"; sort + segment-sum, no atomics — hard part 3);
+  3. gather old state rows, compute the update, scatter back with
+     ``mode='drop'`` so padding segments (sentinel row id == num_rows, out of
+     bounds) are dropped in hardware rather than corrupting row 0.
+
+Semantics notes (SURVEY.md §7 hard part 2):
+  * Adagrad: sparse update is *bit-identical* to a dense Adagrad step
+    (untouched rows get zero grad -> zero accumulator change, zero delta).
+  * Adam: this is **lazy Adam** — moments of untouched rows do not decay.
+    Matches the touched-rows-only math documented in SURVEY.md; a dense-Adam
+    parity test covers the single-step case where they agree.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Dict
+
+import jax
+import jax.numpy as jnp
+
+
+def dedup_segment_sum(
+    gids: jnp.ndarray, grads: jnp.ndarray, num_rows: int
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Deduplicate row ids and sum their gradient rows.
+
+    gids: [N] int32 row ids (may repeat); grads: [N, D].
+    Returns (uids [N], summed [N, D], valid [N] bool): position k < U holds
+    the k-th distinct id with its summed gradient; positions k >= U hold the
+    sentinel id ``num_rows`` (out of bounds -> scatter-dropped) with zero rows.
+    Static shapes throughout (U is data-dependent, so the arrays stay [N]).
+    """
+    n = gids.shape[0]
+    order = jnp.argsort(gids)
+    sg = gids[order]
+    gr = grads[order]
+    is_start = jnp.concatenate([jnp.ones((1,), jnp.bool_), sg[1:] != sg[:-1]])
+    seg = jnp.cumsum(is_start) - 1  # [N] in [0, U)
+    summed = jax.ops.segment_sum(gr, seg, num_segments=n)
+    counts = jax.ops.segment_sum(jnp.ones_like(sg), seg, num_segments=n)
+    valid = counts > 0
+    uids = jax.ops.segment_max(sg, seg, num_segments=n)
+    uids = jnp.where(valid, uids, num_rows).astype(jnp.int32)
+    return uids, summed, valid
+
+
+@dataclasses.dataclass(frozen=True)
+class SparseOptimizer:
+    """Functional sparse optimizer over one stacked table.
+
+    init(num_rows, dim) -> state pytree
+    apply(table, state, uids, gsum, step, lr) -> (table, state)
+      uids/gsum from ``dedup_segment_sum`` (sentinel = num_rows).
+    """
+
+    name: str
+    init: Callable[[int, int], Dict[str, jnp.ndarray]]
+    apply: Callable[..., tuple[jnp.ndarray, Dict[str, jnp.ndarray]]]
+
+
+def sparse_adagrad(eps: float = 1e-8, initial_accumulator: float = 0.1) -> SparseOptimizer:
+    """Per-element Adagrad on touched rows (== dense Adagrad semantics)."""
+
+    def init(num_rows: int, dim: int) -> Dict[str, jnp.ndarray]:
+        return {"acc": jnp.full((num_rows, dim), initial_accumulator, jnp.float32)}
+
+    def apply(table, state, uids, gsum, step, lr):
+        del step
+        acc_rows = state["acc"].at[uids].get(mode="fill", fill_value=initial_accumulator)
+        acc_new = acc_rows + gsum * gsum
+        delta = -lr * gsum / (jnp.sqrt(acc_new) + eps)
+        acc = state["acc"].at[uids].set(acc_new, mode="drop")
+        table = table.at[uids].add(delta.astype(table.dtype), mode="drop")
+        return table, {"acc": acc}
+
+    return SparseOptimizer("adagrad", init, apply)
+
+
+def sparse_adam(b1: float = 0.9, b2: float = 0.999, eps: float = 1e-8) -> SparseOptimizer:
+    """Lazy Adam: moment updates and decay applied to touched rows only.
+
+    Bias correction uses the global step counter (standard lazy-Adam choice;
+    per-row step counters would double state memory for negligible effect).
+    """
+
+    def init(num_rows: int, dim: int) -> Dict[str, jnp.ndarray]:
+        return {
+            "m": jnp.zeros((num_rows, dim), jnp.float32),
+            "v": jnp.zeros((num_rows, dim), jnp.float32),
+        }
+
+    def apply(table, state, uids, gsum, step, lr):
+        m_rows = state["m"].at[uids].get(mode="fill", fill_value=0.0)
+        v_rows = state["v"].at[uids].get(mode="fill", fill_value=0.0)
+        m_new = b1 * m_rows + (1.0 - b1) * gsum
+        v_new = b2 * v_rows + (1.0 - b2) * gsum * gsum
+        t = (step + 1).astype(jnp.float32)
+        m_hat = m_new / (1.0 - b1**t)
+        v_hat = v_new / (1.0 - b2**t)
+        delta = -lr * m_hat / (jnp.sqrt(v_hat) + eps)
+        m = state["m"].at[uids].set(m_new, mode="drop")
+        v = state["v"].at[uids].set(v_new, mode="drop")
+        table = table.at[uids].add(delta.astype(table.dtype), mode="drop")
+        return table, {"m": m, "v": v}
+
+    return SparseOptimizer("adam", init, apply)
+
+
+def get_sparse_optimizer(name: str, **kwargs) -> SparseOptimizer:
+    if name == "adagrad":
+        return sparse_adagrad(**kwargs)
+    if name == "adam":
+        return sparse_adam(**kwargs)
+    raise ValueError(f"unknown sparse optimizer: {name}")

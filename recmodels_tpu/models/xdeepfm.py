@@ -1,0 +1,76 @@
+"""xDeepFM — linear ⊕ CIN ⊕ DNN (arXiv:1803.05170; SURVEY.md §2b model 6;
+BASELINE.json:11: CIN(128,128) + DNN, the flagship config).
+
+Field matrix ``X⁰ ∈ R^{m×D}``; CIN layer k:
+``Xᵏ_{h,d} = Σ_{i,j} Wᵏ_{h,i,j} (Xᵏ⁻¹_{i,d} · X⁰_{j,d})`` with per-layer sum
+pooling ``pᵏ_h = Σ_d Xᵏ_{h,d}``; logit = linear + w_cinᵀ concat(p¹..p^K) +
+DNN + bias. The CIN contraction is the model's hot op — fused in Pallas so
+the [B, H, m, D] Hadamard tensor never exists in HBM (SURVEY.md §7 hard
+part 5).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from recmodels_tpu.data.schema import Schema
+from recmodels_tpu.models.base import CTRModel, EmbActivations, flatten_slots, wide_schema
+from recmodels_tpu.nn.mlp import mlp_apply, mlp_init
+from recmodels_tpu.ops.dispatch import get_op
+
+
+class XDeepFMModel(CTRModel):
+    name = "xdeepfm"
+
+    def __init__(
+        self,
+        schema: Schema,
+        cin_sizes: Sequence[int] = (128, 128),
+        hidden: Sequence[int] = (400, 400),
+        compute_dtype=jnp.float32,
+    ):
+        super().__init__(schema)
+        self.cin_sizes = tuple(cin_sizes)
+        self.hidden = tuple(hidden)
+        self.compute_dtype = compute_dtype
+
+    def embedding_schemas(self) -> Dict[str, Schema]:
+        return {"wide": wide_schema(self.schema), "emb": self.schema}
+
+    def init_dense(self, rng: jax.Array):
+        m = self.schema.n_slots
+        keys = jax.random.split(rng, len(self.cin_sizes) + 3)
+        cin_w = []
+        h_prev = m
+        for i, h_next in enumerate(self.cin_sizes):
+            cin_w.append(
+                jax.random.normal(keys[i], (h_next, h_prev, m), jnp.float32)
+                * jnp.sqrt(2.0 / (h_prev * m))
+            )
+            h_prev = h_next
+        p_dim = sum(self.cin_sizes)
+        in_dim = m * self.schema.max_dim + self.schema.n_dense
+        return {
+            "cin_w": cin_w,
+            "w_cin": jax.random.normal(keys[-3], (p_dim,), jnp.float32) / jnp.sqrt(p_dim),
+            "mlp": mlp_init(keys[-2], in_dim, self.hidden, out_dim=1),
+            "w_dense": jnp.zeros((self.schema.n_dense,), jnp.float32),
+            "bias": jnp.zeros((), jnp.float32),
+        }
+
+    def apply(self, params, dense: jnp.ndarray, emb: EmbActivations) -> jnp.ndarray:
+        cin_layer = get_op("cin_layer")
+        x0 = emb["emb"]  # [B, m, D]
+        xk = x0
+        pools = []
+        for w in params["cin_w"]:
+            xk = cin_layer(xk, x0, w)
+            pools.append(jnp.sum(xk, axis=2))  # [B, H_k]
+        p = jnp.concatenate(pools, axis=1)
+        y_lin = jnp.sum(emb["wide"][..., 0], axis=1) + dense @ params["w_dense"]
+        h = jnp.concatenate([flatten_slots(x0), dense], axis=1)
+        y_dnn = mlp_apply(params["mlp"], h, final_linear=True, compute_dtype=self.compute_dtype)[:, 0]
+        return params["bias"] + y_lin + p @ params["w_cin"] + y_dnn

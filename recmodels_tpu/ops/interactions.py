@@ -1,0 +1,90 @@
+"""Feature-interaction ops — jnp reference implementations.
+
+These are the mathematical ground truth for the model zoo's interaction
+layers (SURVEY.md §2b): the FM second-order term, DCN explicit cross layers,
+PNN inner/outer product layers and xDeepFM's CIN. Each has (or will gain) a
+fused Pallas TPU kernel in ``recmodels_tpu.ops.pallas``; unit tests assert
+kernel == reference forward and grad (SURVEY.md §4 item 1).
+
+All ops take embeddings as ``[B, F, D]`` (batch, field/slot, embed dim).
+Per-slot-dim schemas are zero-padded to the max dim upstream — zero padding
+is exact for every op here (sums/dots of zero rows contribute nothing),
+which is the documented resolution of SURVEY.md §7 hard part 4.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def fm_pairwise(emb: jnp.ndarray) -> jnp.ndarray:
+    """FM second-order term via the sum-square identity (Rendle 2010).
+
+    ``0.5 * sum_d [(sum_f e_fd)^2 - sum_f e_fd^2]`` — O(F*D), not O(F^2*D).
+    emb: [B, F, D] -> [B].
+    """
+    s = jnp.sum(emb, axis=1)  # [B, D]
+    sq = jnp.sum(emb * emb, axis=(1, 2))  # [B]
+    return 0.5 * (jnp.sum(s * s, axis=1) - sq)
+
+
+def dcn_cross_layer(x0: jnp.ndarray, xl: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """One DCN cross layer (arXiv:1708.05123): x_{l+1} = x0 * (xl . w) + b + xl.
+
+    x0, xl: [B, d]; w, b: [d]. The rank-1 structure means the whole layer is
+    one dot + one broadcast multiply — an elementwise-dominated (VPU) op.
+    """
+    xw = jnp.einsum("bd,d->b", xl, w)  # [B]
+    return x0 * xw[:, None] + b[None, :] + xl
+
+
+def triu_pair_indices(n: int) -> tuple[np.ndarray, np.ndarray]:
+    """Static upper-triangle (i<j) index pair arrays for F fields."""
+    iu = np.triu_indices(n, k=1)
+    return iu[0].astype(np.int32), iu[1].astype(np.int32)
+
+
+def pnn_inner_products(emb: jnp.ndarray) -> jnp.ndarray:
+    """IPNN product signal (arXiv:1611.00144): p_ij = <e_i, e_j> for i<j.
+
+    emb: [B, F, D] -> [B, F*(F-1)/2]. Computed as the full Gram matrix
+    ``G = emb @ emb^T`` (a [F, D] x [D, F] batched matmul — MXU-friendly)
+    then gathering the static upper triangle.
+    """
+    gram = jnp.einsum("bfd,bgd->bfg", emb, emb)  # [B, F, F]
+    fi, fj = triu_pair_indices(emb.shape[1])
+    return gram[:, fi, fj]
+
+
+def pnn_outer_product(emb: jnp.ndarray) -> jnp.ndarray:
+    """OPNN superposition trick (arXiv:1611.00144 §3.2): p = f_Σ f_Σ^T.
+
+    emb: [B, F, D] -> [B, D, D] where f_Σ = Σ_f e_f. Collapses the O(F²D²)
+    pairwise outer products to one rank-1 outer per example.
+    """
+    s = jnp.sum(emb, axis=1)  # [B, D]
+    return s[:, :, None] * s[:, None, :]
+
+
+def cin_layer(xk: jnp.ndarray, x0: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
+    """One CIN layer (arXiv:1803.05170 eq. 6).
+
+    xk: [B, H_k, D] (previous layer), x0: [B, m, D] (field matrix),
+    w: [H_next, H_k, m] -> [B, H_next, D]:
+
+        X^{k+1}_{n,d} = Σ_{h,i} w_{n,h,i} * xk_{h,d} * x0_{i,d}
+
+    The jnp reference contracts without materializing the [B, H_k, m, D]
+    Hadamard tensor: for each d, (w reshaped [H_next, H_k*m]) @ vec(outer of
+    column d). XLA maps this einsum onto batched MXU matmuls; the Pallas
+    version additionally tiles D to keep everything in VMEM (SURVEY.md §7
+    hard part 5).
+    """
+    # [B, D, H_k, m] outer products per depth slice, contracted immediately.
+    return jnp.einsum("bhd,bid,nhi->bnd", xk, x0, w)
+
+
+def cin_sum_pool(xk: jnp.ndarray) -> jnp.ndarray:
+    """Per-feature-map sum pooling over D: [B, H, D] -> [B, H]."""
+    return jnp.sum(xk, axis=2)

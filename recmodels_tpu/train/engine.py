@@ -1,0 +1,203 @@
+"""The training engine: one jit'd step (forward + backward + both optimizers).
+
+Replaces the reference's DistriOptimizer loop (SURVEY.md §2a #11, §3.1): where
+BigDL dispatches Spark tasks, fetches weight partitions, runs per-core
+replicas and exchanges gradients over BlockManager, here the ENTIRE step —
+embedding gather, model forward, backward, dense Adam/Adagrad, sparse
+row-wise embedding update — is a single XLA program. Data parallelism is the
+same step run under ``shard_map`` with an ``axis_name`` (gradient ``psum``
+replaces the reference's reduce-scatter/all-gather, SURVEY.md §3.4); sharded
+embedding tables swap the ``LocalTables`` strategy for the all-to-all one in
+``parallel/sharded_embedding.py``.
+
+Gradient path for embeddings: the loss is differentiated wrt the *gathered
+rows* (O(batch) memory), then ``dedup_segment_sum`` + sparse optimizer apply
+the update — never a dense [vocab, dim] gradient.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Dict, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from recmodels_tpu.embedding.collection import EmbeddingCollection
+from recmodels_tpu.embedding.optim import SparseOptimizer, dedup_segment_sum, get_sparse_optimizer
+from recmodels_tpu.models.base import CTRModel
+from recmodels_tpu.train import metrics as metrics_lib
+
+
+class TrainState(NamedTuple):
+    step: jnp.ndarray
+    dense_params: Any
+    dense_opt: Any
+    emb_params: Dict[str, Dict[str, jnp.ndarray]]  # {collection: {group: table}}
+    emb_opt: Dict[str, Dict[str, Any]]  # {collection: {group: state}}
+
+
+class LocalTables:
+    """Single-device / replicated table strategy: plain gather + local update."""
+
+    def __init__(self, collections: Dict[str, EmbeddingCollection], sparse_opt: SparseOptimizer):
+        self.collections = collections
+        self.sparse_opt = sparse_opt
+
+    def init_params(self, rng: jax.Array) -> Dict[str, Dict[str, jnp.ndarray]]:
+        out = {}
+        for name, coll in self.collections.items():
+            rng, sub = jax.random.split(rng)
+            out[name] = coll.init(sub)
+        return out
+
+    def init_opt(self, params) -> Dict[str, Dict[str, Any]]:
+        out = {}
+        for name, coll in self.collections.items():
+            out[name] = {
+                g.name: self.sparse_opt.init(g.total_rows, g.dim) for g in coll.groups
+            }
+        return out
+
+    def gather(self, emb_params, gids):
+        """{coll: {group: [B, n_g]}} -> {coll: {group: [B, n_g, dim]}}"""
+        return {
+            name: coll.gather_rows(emb_params[name], gids[name])
+            for name, coll in self.collections.items()
+        }
+
+    def apply_grads(self, emb_params, emb_opt, gids, grad_rows, step, lr):
+        new_params, new_opt = {}, {}
+        for name, coll in self.collections.items():
+            new_params[name], new_opt[name] = {}, {}
+            for g in coll.groups:
+                ids_flat = gids[name][g.name].reshape(-1)
+                gr_flat = grad_rows[name][g.name].reshape(-1, g.dim)
+                uids, gsum, _ = dedup_segment_sum(ids_flat, gr_flat, g.total_rows)
+                table, opt = self.sparse_opt.apply(
+                    emb_params[name][g.name], emb_opt[name][g.name], uids, gsum, step, lr
+                )
+                new_params[name][g.name] = table
+                new_opt[name][g.name] = opt
+        return new_params, new_opt
+
+
+@dataclasses.dataclass
+class Engine:
+    """Wires a model + embedding collections + optimizers into jit-able steps.
+
+    ``axis_name``: set when the step runs under shard_map data parallelism —
+    loss and dense grads are ``psum``-averaged over it.
+    """
+
+    model: CTRModel
+    dense_optimizer: str = "adam"
+    sparse_optimizer: str = "adagrad"
+    dense_lr: float = 1e-3
+    emb_lr: float = 1e-2
+    axis_name: str | None = None
+    table_strategy: Any = None  # defaults to LocalTables
+    emb_lr_schedule: Callable[[jnp.ndarray], jnp.ndarray] | None = None
+
+    def __post_init__(self):
+        self.collections = {
+            name: EmbeddingCollection(sch)
+            for name, sch in self.model.embedding_schemas().items()
+        }
+        self.sparse_opt = get_sparse_optimizer(self.sparse_optimizer)
+        if self.table_strategy is None:
+            self.table_strategy = LocalTables(self.collections, self.sparse_opt)
+        if self.dense_optimizer == "adam":
+            self.dense_tx = optax.adam(self.dense_lr)
+        elif self.dense_optimizer == "adagrad":
+            self.dense_tx = optax.adagrad(self.dense_lr)
+        elif self.dense_optimizer == "sgd":
+            self.dense_tx = optax.sgd(self.dense_lr)
+        else:
+            raise ValueError(f"unknown dense optimizer {self.dense_optimizer}")
+
+    # ------------------------------------------------------------------ init
+    def init(self, rng: jax.Array) -> TrainState:
+        r_dense, r_emb = jax.random.split(rng)
+        dense_params = self.model.init_dense(r_dense)
+        emb_params = self.table_strategy.init_params(r_emb)
+        return TrainState(
+            step=jnp.zeros((), jnp.int32),
+            dense_params=dense_params,
+            dense_opt=self.dense_tx.init(dense_params),
+            emb_params=emb_params,
+            emb_opt=self.table_strategy.init_opt(emb_params),
+        )
+
+    # ------------------------------------------------------------- forward
+    def _group_ids(self, ids: jnp.ndarray):
+        return {name: coll.group_row_ids(ids) for name, coll in self.collections.items()}
+
+    def _forward_from_rows(self, dense_params, rows, dense):
+        emb = {name: coll.combine(rows[name]) for name, coll in self.collections.items()}
+        return self.model.apply(dense_params, dense, emb)
+
+    def logits(self, state: TrainState, dense: jnp.ndarray, ids: jnp.ndarray) -> jnp.ndarray:
+        """Inference forward pass."""
+        gids = self._group_ids(ids)
+        rows = self.table_strategy.gather(state.emb_params, gids)
+        return self._forward_from_rows(state.dense_params, rows, dense)
+
+    # --------------------------------------------------------------- train
+    def train_step(self, state: TrainState, dense, ids, labels):
+        """One optimizer step. Returns (new_state, {'loss': mean_bce})."""
+        gids = self._group_ids(ids)
+        rows = self.table_strategy.gather(state.emb_params, gids)
+
+        def loss_fn(dense_params, rows):
+            logits = self._forward_from_rows(dense_params, rows, dense)
+            losses = optax.sigmoid_binary_cross_entropy(logits, labels)
+            return jnp.mean(losses)
+
+        loss, (g_dense, g_rows) = jax.value_and_grad(loss_fn, argnums=(0, 1))(
+            state.dense_params, rows
+        )
+        if self.axis_name is not None:
+            loss = jax.lax.pmean(loss, self.axis_name)
+            g_dense = jax.lax.pmean(g_dense, self.axis_name)
+            # embedding grads stay local: each device updates with its own
+            # batch shard's rows; with sharded tables the all_to_all routes
+            # them to the owning shard (parallel/sharded_embedding.py).
+
+        updates, dense_opt = self.dense_tx.update(g_dense, state.dense_opt, state.dense_params)
+        dense_params = optax.apply_updates(state.dense_params, updates)
+
+        lr = (
+            self.emb_lr_schedule(state.step)
+            if self.emb_lr_schedule is not None
+            else jnp.asarray(self.emb_lr, jnp.float32)
+        )
+        emb_params, emb_opt = self.table_strategy.apply_grads(
+            state.emb_params, state.emb_opt, gids, g_rows, state.step, lr
+        )
+        new_state = TrainState(
+            step=state.step + 1,
+            dense_params=dense_params,
+            dense_opt=dense_opt,
+            emb_params=emb_params,
+            emb_opt=emb_opt,
+        )
+        return new_state, {"loss": loss}
+
+    # ---------------------------------------------------------------- eval
+    def eval_step(self, state: TrainState, auc_state, dense, ids, labels):
+        logits = self.logits(state, dense, ids)
+        if self.axis_name is not None:
+            # histogram state is additive -> psum-merge across devices
+            new = metrics_lib.auc_update(metrics_lib.auc_init(auc_state.pos_hist.shape[0]), logits, labels)
+            new = jax.tree.map(lambda x: jax.lax.psum(x, self.axis_name), new)
+            return metrics_lib.auc_merge(auc_state, new)
+        return metrics_lib.auc_update(auc_state, logits, labels)
+
+    # ------------------------------------------------------------- jitting
+    def jit_train_step(self, donate: bool = True):
+        return jax.jit(self.train_step, donate_argnums=(0,) if donate else ())
+
+    def jit_eval_step(self):
+        return jax.jit(self.eval_step, donate_argnums=(1,))
