@@ -1,0 +1,237 @@
+"""Row-sharded embedding tables with all-to-all ID exchange.
+
+THE central architectural change vs the reference (BASELINE.json:5 "local
+embedding matrices -> sharded table shards + all-to-all"; SURVEY.md §2a #8,
+§5.8): BigDL keeps every table replicated in every model replica; here each
+device owns a contiguous block of every stacked table's rows, and lookups are
+a three-hop exchange executed *inside* the jit'd step:
+
+  1. bucket this device's flat row ids by owning shard (fixed capacity C per
+     destination + overflow counting — SURVEY.md §7 hard part 1);
+  2. ``all_to_all`` the id buckets (requester -> owner);
+  3. owners gather rows from their local shard; ``all_to_all`` the rows back;
+  4. un-permute into the batch's original order.
+
+The gradient path runs the same route in reverse: per-occurrence grad rows
+go requester -> owner, the owner dedups them with sort+segment-sum and
+applies the sparse optimizer to its local shard + local optimizer state
+(optimizer state lives with its rows — the ZeRO-1-like partitioning the
+reference also had, SURVEY.md §3.4).
+
+This is exactly expert-parallelism's token->owner exchange (SURVEY.md §2c),
+expressed with ``jax.lax.all_to_all`` under ``shard_map`` so XLA emits ICI
+collectives — no transport code.
+
+Sharding layout: tables pad ``total_rows`` up to a multiple of n_shards and
+block-shard: shard s owns global rows [s*R, (s+1)*R). Hashed ids are uniform
+over each slot's vocab range, so block shards are load-balanced in
+expectation; overflow capacity ``C = ceil(N/S * capacity_factor)`` absorbs
+the multinomial tail (overflowed lookups return zero rows and drop their
+grads; the count is observable via ``gather_with_stats``).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+
+from recmodels_tpu.embedding.collection import EmbeddingCollection
+from recmodels_tpu.embedding.optim import SparseOptimizer, dedup_segment_sum
+
+
+def _cdiv(a: int, b: int) -> int:
+    return -(-a // b)
+
+
+class ShardedTables:
+    """Table strategy (engine.py API) that runs under ``shard_map``.
+
+    All methods other than init_* assume they execute per-device inside a
+    ``shard_map`` over ``axis_name``, with ``emb_params[coll][group]`` being
+    the LOCAL shard ``[padded_rows / n_shards, dim]``.
+    """
+
+    def __init__(
+        self,
+        collections: Dict[str, EmbeddingCollection],
+        sparse_opt: SparseOptimizer,
+        n_shards: int,
+        axis_name: str = "data",
+        capacity_factor: float = 2.0,
+        local_batch_hint: int | None = None,
+    ):
+        self.collections = collections
+        self.sparse_opt = sparse_opt
+        self.n_shards = n_shards
+        self.axis_name = axis_name
+        self.capacity_factor = capacity_factor
+
+    # ------------------------------------------------------------ geometry
+    def padded_rows(self, coll: str, group) -> int:
+        return _cdiv(group.total_rows, self.n_shards) * self.n_shards
+
+    def rows_per_shard(self, coll: str, group) -> int:
+        return self.padded_rows(coll, group) // self.n_shards
+
+    def _capacity(self, n_flat_ids: int) -> int:
+        # per-destination bucket capacity; multiple of 8 for TPU sublanes
+        c = _cdiv(int(n_flat_ids * self.capacity_factor), self.n_shards)
+        return max(8, _cdiv(c, 8) * 8)
+
+    # ---------------------------------------------------------------- init
+    def init_params(self, rng: jax.Array) -> Dict[str, Dict[str, jnp.ndarray]]:
+        """GLOBAL (unsharded-shape) params; shard with parallel.shard_state."""
+        out = {}
+        for name, coll in self.collections.items():
+            rng, sub = jax.random.split(rng)
+            tables = coll.init(sub)
+            out[name] = {
+                g.name: jnp.pad(
+                    tables[g.name],
+                    ((0, self.padded_rows(name, g) - g.total_rows), (0, 0)),
+                )
+                for g in coll.groups
+            }
+        return out
+
+    def init_opt(self, params) -> Dict[str, Dict[str, Any]]:
+        out = {}
+        for name, coll in self.collections.items():
+            out[name] = {
+                g.name: self.sparse_opt.init(self.padded_rows(name, g), g.dim)
+                for g in coll.groups
+            }
+        return out
+
+    # ------------------------------------------------------------ exchange
+    def _plan(self, ids_flat: jnp.ndarray, rows_per_shard: int, cap: int):
+        """Routing plan for one group's flat global row ids [N].
+
+        Returns (send_slots [N] int32 with D*C sentinel for overflow,
+                 send_ids [D*C] with OOB sentinel, order [N], inv_order [N],
+                 overflow count).
+        XLA CSEs this between gather and apply_grads (same inputs, pure ops),
+        so the plan is effectively computed once per step.
+        """
+        n = ids_flat.shape[0]
+        d = self.n_shards
+        owner = (ids_flat // rows_per_shard).astype(jnp.int32)
+        order = jnp.argsort(owner, stable=True)
+        sorted_owner = owner[order]
+        sorted_ids = ids_flat[order]
+        counts = jax.ops.segment_sum(jnp.ones_like(owner), owner, num_segments=d)
+        offsets = jnp.cumsum(counts) - counts  # start of each owner run
+        pos = jnp.arange(n, dtype=jnp.int32) - offsets[sorted_owner]
+        valid = pos < cap
+        slots = jnp.where(valid, sorted_owner * cap + pos, d * cap)  # OOB sentinel
+        send_ids = jnp.full((d * cap,), jnp.iinfo(jnp.int32).max, jnp.int32)
+        send_ids = send_ids.at[slots].set(sorted_ids, mode="drop")
+        inv_order = jnp.zeros((n,), jnp.int32).at[order].set(jnp.arange(n, dtype=jnp.int32))
+        overflow = jnp.sum(~valid)
+        return slots, send_ids, order, inv_order, overflow
+
+    def _gather_group(self, table_local, ids_flat, rows_per_shard, with_stats=False):
+        d = self.n_shards
+        n = ids_flat.shape[0]
+        cap = self._capacity(n)
+        slots, send_ids, order, inv_order, overflow = self._plan(ids_flat, rows_per_shard, cap)
+        # hop 1: requester -> owner (ids)
+        recv_ids = jax.lax.all_to_all(
+            send_ids.reshape(d, cap), self.axis_name, split_axis=0, concat_axis=0
+        )
+        my_index = jax.lax.axis_index(self.axis_name)
+        local_idx = recv_ids - my_index * rows_per_shard  # sentinel stays OOB
+        rows = table_local.at[local_idx.reshape(-1)].get(mode="fill", fill_value=0.0)
+        # hop 2: owner -> requester (rows)
+        back = jax.lax.all_to_all(
+            rows.reshape(d, cap, -1), self.axis_name, split_axis=0, concat_axis=0
+        )
+        flat_rows = back.reshape(d * cap, -1)
+        sorted_rows = flat_rows.at[slots].get(mode="fill", fill_value=0.0)
+        out = sorted_rows[inv_order]
+        if with_stats:
+            return out, overflow
+        return out
+
+    def _scatter_group(self, table_local, opt_state, ids_flat, grads_flat,
+                       rows_per_shard, step, lr):
+        d = self.n_shards
+        n = ids_flat.shape[0]
+        cap = self._capacity(n)
+        dim = grads_flat.shape[-1]
+        slots, send_ids, order, inv_order, _ = self._plan(ids_flat, rows_per_shard, cap)
+        sorted_grads = grads_flat[order]
+        send_grads = jnp.zeros((d * cap, dim), grads_flat.dtype)
+        send_grads = send_grads.at[slots].set(sorted_grads, mode="drop")
+        # grads ride requester -> owner, aligned with the id buckets
+        recv_ids = jax.lax.all_to_all(
+            send_ids.reshape(d, cap), self.axis_name, split_axis=0, concat_axis=0
+        )
+        recv_grads = jax.lax.all_to_all(
+            send_grads.reshape(d, cap, dim), self.axis_name, split_axis=0, concat_axis=0
+        )
+        my_index = jax.lax.axis_index(self.axis_name)
+        local_idx = (recv_ids - my_index * rows_per_shard).reshape(-1)
+        # sentinel/padding ids land far out of [0, rows_per_shard): clamp into
+        # the dedup sentinel space by mapping anything OOB to rows_per_shard
+        local_idx = jnp.where(
+            (local_idx >= 0) & (local_idx < rows_per_shard), local_idx, rows_per_shard
+        ).astype(jnp.int32)
+        uids, gsum, _ = dedup_segment_sum(
+            local_idx, recv_grads.reshape(-1, dim), rows_per_shard
+        )
+        return self.sparse_opt.apply(table_local, opt_state, uids, gsum, step, lr)
+
+    # ----------------------------------------------------- engine strategy
+    def gather(self, emb_params, gids):
+        out = {}
+        for name, coll in self.collections.items():
+            out[name] = {}
+            for g in coll.groups:
+                ids = gids[name][g.name]
+                b, ns = ids.shape
+                rows = self._gather_group(
+                    emb_params[name][g.name], ids.reshape(-1), self.rows_per_shard(name, g)
+                )
+                out[name][g.name] = rows.reshape(b, ns, g.dim)
+        return out
+
+    def gather_with_stats(self, emb_params, gids):
+        """gather + total overflow count (for logging/monitoring)."""
+        out, total = {}, jnp.zeros((), jnp.int32)
+        for name, coll in self.collections.items():
+            out[name] = {}
+            for g in coll.groups:
+                ids = gids[name][g.name]
+                b, ns = ids.shape
+                rows, ovf = self._gather_group(
+                    emb_params[name][g.name],
+                    ids.reshape(-1),
+                    self.rows_per_shard(name, g),
+                    with_stats=True,
+                )
+                out[name][g.name] = rows.reshape(b, ns, g.dim)
+                total = total + ovf
+        return out, total
+
+    def apply_grads(self, emb_params, emb_opt, gids, grad_rows, step, lr):
+        new_params, new_opt = {}, {}
+        for name, coll in self.collections.items():
+            new_params[name], new_opt[name] = {}, {}
+            for g in coll.groups:
+                ids = gids[name][g.name].reshape(-1)
+                gr = grad_rows[name][g.name].reshape(-1, g.dim)
+                table, opt = self._scatter_group(
+                    emb_params[name][g.name],
+                    emb_opt[name][g.name],
+                    ids,
+                    gr,
+                    self.rows_per_shard(name, g),
+                    step,
+                    lr,
+                )
+                new_params[name][g.name] = table
+                new_opt[name][g.name] = opt
+        return new_params, new_opt

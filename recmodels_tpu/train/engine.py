@@ -108,6 +108,9 @@ class Engine:
         self.sparse_opt = get_sparse_optimizer(self.sparse_optimizer)
         if self.table_strategy is None:
             self.table_strategy = LocalTables(self.collections, self.sparse_opt)
+        elif callable(self.table_strategy) and not hasattr(self.table_strategy, "gather"):
+            # factory: (collections, sparse_opt) -> strategy (parallel/)
+            self.table_strategy = self.table_strategy(self.collections, self.sparse_opt)
         if self.dense_optimizer == "adam":
             self.dense_tx = optax.adam(self.dense_lr)
         elif self.dense_optimizer == "adagrad":
@@ -161,9 +164,12 @@ class Engine:
         if self.axis_name is not None:
             loss = jax.lax.pmean(loss, self.axis_name)
             g_dense = jax.lax.pmean(g_dense, self.axis_name)
-            # embedding grads stay local: each device updates with its own
-            # batch shard's rows; with sharded tables the all_to_all routes
-            # them to the owning shard (parallel/sharded_embedding.py).
+            # Embedding grads are summed per-row at the owning shard across
+            # ALL devices' occurrences, so the per-example weight must be
+            # 1/global_batch, not 1/local_batch — rescale by 1/axis_size.
+            # (Dense grads instead go through pmean above.)
+            inv = 1.0 / jax.lax.axis_size(self.axis_name)
+            g_rows = jax.tree.map(lambda g: g * inv, g_rows)
 
         updates, dense_opt = self.dense_tx.update(g_dense, state.dense_opt, state.dense_params)
         dense_params = optax.apply_updates(state.dense_params, updates)
