@@ -1,0 +1,90 @@
+"""Frozen dataclass run config (SURVEY.md §5.6: replaces the reference's
+scopt CLI args + SparkConf). JSON round-trips into the checkpoint dir so a
+run is reproducible from its artifacts."""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from typing import Sequence
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    # model
+    model: str = "xdeepfm"
+    hidden: tuple = (400, 400)
+    cin_sizes: tuple = (128, 128)
+    pnn_mode: str = "both"
+    n_cross: int = 3
+    bf16: bool = False
+    # schema (BASELINE.json:7-9)
+    vocab_size: int = 100_000
+    embed_dim: int = 16
+    per_slot_dims: tuple | None = None  # overrides embed_dim when set
+    # optimizers
+    dense_optimizer: str = "adam"
+    sparse_optimizer: str = "adagrad"
+    dense_lr: float = 1e-3
+    emb_lr: float = 1e-2
+    # data
+    data: str = "synthetic"  # "synthetic" | path to criteo TSV
+    val_data: str | None = None
+    batch_size: int = 8192
+    # schedule
+    steps: int = 1000
+    log_every: int = 50
+    eval_every: int = 500
+    eval_batches: int = 20
+    # distribution
+    n_devices: int | None = None  # None = all; 1 = local tables
+    capacity_factor: float = 2.0
+    # io
+    ckpt_dir: str | None = None
+    ckpt_every: int = 1000
+    tb_dir: str | None = None
+    seed: int = 0
+
+    def model_kwargs(self) -> dict:
+        import jax.numpy as jnp
+
+        kw = {}
+        if self.model in ("deepfm", "pnn", "dcn", "xdeepfm"):
+            kw["hidden"] = tuple(self.hidden)
+            if self.bf16:
+                kw["compute_dtype"] = jnp.bfloat16
+        if self.model == "xdeepfm":
+            kw["cin_sizes"] = tuple(self.cin_sizes)
+        if self.model == "pnn":
+            kw["mode"] = self.pnn_mode
+        if self.model == "dcn":
+            kw["n_cross"] = self.n_cross
+        return kw
+
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self), indent=2, default=list)
+
+    @classmethod
+    def from_json(cls, s: str) -> "TrainConfig":
+        d = json.loads(s)
+        for k in ("hidden", "cin_sizes"):
+            if k in d and d[k] is not None:
+                d[k] = tuple(d[k])
+        if d.get("per_slot_dims") is not None:
+            d["per_slot_dims"] = tuple(d["per_slot_dims"])
+        return cls(**d)
+
+    def apply_overrides(self, overrides: Sequence[str]) -> "TrainConfig":
+        """'key=value' overrides with literal-eval'd values."""
+        import ast
+
+        d = dataclasses.asdict(self)
+        for ov in overrides:
+            k, _, v = ov.partition("=")
+            if k not in d:
+                raise KeyError(f"unknown config key: {k}")
+            try:
+                d[k] = ast.literal_eval(v)
+            except (ValueError, SyntaxError):
+                d[k] = v  # bare string
+        return TrainConfig.from_json(json.dumps(d, default=list))
