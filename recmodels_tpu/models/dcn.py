@@ -43,25 +43,20 @@ class DCNModel(CTRModel):
 
     def init_dense(self, rng: jax.Array):
         d = self.x0_dim
-        keys = jax.random.split(rng, self.n_cross + 2)
-        cross = [
-            {
-                "w": jax.random.normal(keys[i], (d,), jnp.float32) / jnp.sqrt(d),
-                "b": jnp.zeros((d,), jnp.float32),
-            }
-            for i in range(self.n_cross)
-        ]
-        mlp = mlp_init(keys[-2], d, self.hidden)
+        keys = jax.random.split(rng, 3)
+        cross = {
+            "w": jax.random.normal(keys[0], (self.n_cross, d), jnp.float32) / jnp.sqrt(d),
+            "b": jnp.zeros((self.n_cross, d), jnp.float32),
+        }
+        mlp = mlp_init(keys[1], d, self.hidden)
         out_dim = d + (self.hidden[-1] if self.hidden else 0)
-        w_out = jax.random.normal(keys[-1], (out_dim,), jnp.float32) / jnp.sqrt(out_dim)
+        w_out = jax.random.normal(keys[2], (out_dim,), jnp.float32) / jnp.sqrt(out_dim)
         return {"cross": cross, "mlp": mlp, "w_out": w_out, "bias": jnp.zeros((), jnp.float32)}
 
     def apply(self, params, dense: jnp.ndarray, emb: EmbActivations) -> jnp.ndarray:
-        cross_layer = get_op("dcn_cross_layer")
+        cross_stack = get_op("dcn_cross_stack")
         x0 = jnp.concatenate([flatten_slots(emb["emb"]), dense], axis=1)
-        xl = x0
-        for layer in params["cross"]:
-            xl = cross_layer(x0, xl, layer["w"], layer["b"])
+        xl = cross_stack(x0, params["cross"]["w"], params["cross"]["b"])
         parts = [xl]
         if self.hidden:
             parts.append(

@@ -62,14 +62,9 @@ class XDeepFMModel(CTRModel):
         }
 
     def apply(self, params, dense: jnp.ndarray, emb: EmbActivations) -> jnp.ndarray:
-        cin_layer = get_op("cin_layer")
+        cin_stack = get_op("cin_stack")
         x0 = emb["emb"]  # [B, m, D]
-        xk = x0
-        pools = []
-        for w in params["cin_w"]:
-            xk = cin_layer(xk, x0, w)
-            pools.append(jnp.sum(xk, axis=2))  # [B, H_k]
-        p = jnp.concatenate(pools, axis=1)
+        p = cin_stack(x0, params["cin_w"])  # [B, sum(H_k)]
         y_lin = jnp.sum(emb["wide"][..., 0], axis=1) + dense @ params["w_dense"]
         h = jnp.concatenate([flatten_slots(x0), dense], axis=1)
         y_dnn = mlp_apply(params["mlp"], h, final_linear=True, compute_dtype=self.compute_dtype)[:, 0]

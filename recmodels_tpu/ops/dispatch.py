@@ -21,9 +21,11 @@ from recmodels_tpu.ops import interactions
 _REFERENCE: Dict[str, Callable] = {
     "fm_pairwise": interactions.fm_pairwise,
     "dcn_cross_layer": interactions.dcn_cross_layer,
+    "dcn_cross_stack": interactions.dcn_cross_stack,
     "pnn_inner_products": interactions.pnn_inner_products,
     "pnn_outer_product": interactions.pnn_outer_product,
     "cin_layer": interactions.cin_layer,
+    "cin_stack": interactions.cin_stack,
 }
 
 _PALLAS: Dict[str, Callable] = {}

@@ -88,3 +88,22 @@ def cin_layer(xk: jnp.ndarray, x0: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
 def cin_sum_pool(xk: jnp.ndarray) -> jnp.ndarray:
     """Per-feature-map sum pooling over D: [B, H, D] -> [B, H]."""
     return jnp.sum(xk, axis=2)
+
+
+def cin_stack(x0: jnp.ndarray, ws) -> jnp.ndarray:
+    """Full CIN: x0 [B, m, D], ws = [w_k: [H_k, H_{k-1}, m]] -> pooled
+    concat [B, sum_k H_k] (each layer sum-pooled over D)."""
+    xk = x0
+    pools = []
+    for w in ws:
+        xk = cin_layer(xk, x0, w)
+        pools.append(cin_sum_pool(xk))
+    return jnp.concatenate(pools, axis=1)
+
+
+def dcn_cross_stack(x0: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """All L cross layers: x0 [B, d], w [L, d], b [L, d] -> x_L [B, d]."""
+    xl = x0
+    for l in range(w.shape[0]):
+        xl = dcn_cross_layer(x0, xl, w[l], b[l])
+    return xl

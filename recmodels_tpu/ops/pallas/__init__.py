@@ -15,3 +15,5 @@ def register_all() -> None:
         return
     for name, fn in interactions_tpu.KERNELS.items():
         dispatch.register_pallas(name, fn)
+    for name, fn in interactions_tpu.FUSED.items():
+        dispatch.register_pallas(name, fn)

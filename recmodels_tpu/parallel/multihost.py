@@ -1,0 +1,46 @@
+"""Multi-host initialization (SURVEY.md §3.5 TPU equivalent of the
+reference's spark-submit + Engine.init deployment layer).
+
+On a TPU pod slice each host runs this same program; ``initialize()`` wires
+them into one JAX runtime (one global device set), after which the mesh in
+parallel/mesh.py spans all chips and shard_map/all_to_all ride ICI. Data is
+fed per-host: host h reads shard h of the input (``host_shard()`` plugs into
+the data sources' shard_index/shard_count).
+
+No cluster manager, scheduler, or transport code exists here on purpose:
+placement is the TPU runtime's job, collectives are XLA's, and elasticity
+follows the gang-scheduled model (SURVEY.md §5.3) — preemption is handled by
+checkpoint/resume, not by surviving with fewer chips.
+"""
+
+from __future__ import annotations
+
+import jax
+
+
+def initialize(coordinator_address: str | None = None,
+               num_processes: int | None = None,
+               process_id: int | None = None) -> None:
+    """Idempotent jax.distributed init. With no args, uses the TPU
+    environment's auto-detection (the normal pod path)."""
+    if jax.process_count() > 1:
+        return  # already initialized
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    except (ValueError, RuntimeError):
+        # single-process run (no coordinator configured) — fine.
+        pass
+
+
+def host_shard() -> tuple[int, int]:
+    """(shard_index, shard_count) for per-host data sharding."""
+    return jax.process_index(), jax.process_count()
+
+
+def is_primary() -> bool:
+    """True on the host that should write checkpoints metadata/TB logs."""
+    return jax.process_index() == 0

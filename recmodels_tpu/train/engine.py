@@ -191,6 +191,25 @@ class Engine:
         )
         return new_state, {"loss": loss}
 
+    # ----------------------------------------------------------- multi-step
+    def train_scan(self, state: TrainState, dense, ids, labels):
+        """K steps in ONE XLA program via lax.scan (dense/ids/labels stacked
+        [K, B, ...]). Amortizes host dispatch — on this environment's
+        tunneled TPU a single step pays ~40ms dispatch latency, so real
+        throughput needs scan'd steps (and production input pipelines feed
+        device-resident superbatches the same way)."""
+
+        def body(st, batch):
+            d, i, l = batch
+            st, m = self.train_step(st, d, i, l)
+            return st, m["loss"]
+
+        state, losses = jax.lax.scan(body, state, (dense, ids, labels))
+        return state, {"loss": losses[-1], "losses": losses}
+
+    def jit_train_scan(self, donate: bool = True):
+        return jax.jit(self.train_scan, donate_argnums=(0,) if donate else ())
+
     # ---------------------------------------------------------------- eval
     def eval_step(self, state: TrainState, auc_state, dense, ids, labels):
         logits = self.logits(state, dense, ids)

@@ -95,7 +95,12 @@ class Trainer:
     def run(self) -> dict:
         cfg = self.cfg
         state = self._shard(self.engine.init(jax.random.key(cfg.seed)))
-        source = build_source(cfg, self.schema, cfg.data, seed=cfg.seed)
+        from recmodels_tpu.parallel import multihost
+
+        h_idx, h_cnt = multihost.host_shard()
+        source = build_source(
+            cfg, self.schema, cfg.data, seed=cfg.seed, shard_index=h_idx, shard_count=h_cnt
+        )
         start_step = 0
         if self.ckpt is not None and self.ckpt.latest_step() is not None:
             state, data_state = self.ckpt.restore(state)
