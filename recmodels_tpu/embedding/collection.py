@@ -119,8 +119,12 @@ class EmbeddingCollection:
     def combine(self, rows: Dict[str, jnp.ndarray]) -> jnp.ndarray:
         """Reassemble per-group rows into [B, n_slots, max_dim], zero-padded.
 
-        Differentiable; ``split_grad`` is its exact transpose.
+        Differentiable; ``split_grad`` is its exact transpose. Uniform-dim
+        schemas (the common case) short-circuit to the rows themselves —
+        no scatter, no copy.
         """
+        if len(self.groups) == 1:
+            return rows[self.groups[0].name]
         some = next(iter(rows.values()))
         b = some.shape[0]
         out = jnp.zeros((b, self.schema.n_slots, self.max_dim), dtype=some.dtype)
