@@ -57,10 +57,14 @@ def main():
     acc = jnp.abs(table) + 0.1
     r = {}
 
-    r["argsort_ms"] = timed(lambda c: c + ids[jnp.argsort(ids)][0].astype(jnp.float32), jnp.zeros(()))
-    r["dedup_ms"] = timed(
+    def rec(key, val):
+        r[key] = round(val, 3)
+        print(f"{key}: {r[key]}", flush=True)
+
+    rec("argsort_ms", timed(lambda c: c + ids[jnp.argsort(ids)][0].astype(jnp.float32), jnp.zeros(())))
+    rec("dedup_ms", timed(
         lambda c: c + dedup_segment_sum(ids, grads, ROWS)[1][0, 0], jnp.zeros(())
-    )
+    ))
 
     uids, gsum, _ = dedup_segment_sum(ids, grads, ROWS)
 
@@ -68,7 +72,7 @@ def main():
         t = table.at[uids].set(gsum, mode="drop")
         return c + t[0, 0]
 
-    r["scatter_set_ms"] = timed(scat_set, jnp.zeros(()))
+    rec("scatter_set_ms", timed(scat_set, jnp.zeros(())))
 
     # sorted+unique variant: tail sentinels made distinct and ascending
     n = uids.shape[0]
@@ -78,19 +82,19 @@ def main():
         t = table.at[uids_u].set(gsum, mode="drop", indices_are_sorted=True, unique_indices=True)
         return c + t[0, 0]
 
-    r["scatter_set_sorted_unique_ms"] = timed(scat_set_hint, jnp.zeros(()))
+    rec("scatter_set_sorted_unique_ms", timed(scat_set_hint, jnp.zeros(())))
 
     def gath(c):
         g = acc.at[uids_u].get(mode="fill", fill_value=0.0, indices_are_sorted=True, unique_indices=True)
         return c + g[0, 0]
 
-    r["gather_hint_ms"] = timed(gath, jnp.zeros(()))
+    rec("gather_hint_ms", timed(gath, jnp.zeros(())))
 
     def dense_grad_build(c):
         G = jnp.zeros((ROWS, DIM), jnp.float32).at[ids].add(grads)
         return c + G[0, 0]
 
-    r["dense_grad_scatter_add_ms"] = timed(dense_grad_build, jnp.zeros(()))
+    rec("dense_grad_scatter_add_ms", timed(dense_grad_build, jnp.zeros(())))
 
     def dense_adagrad(c_state):
         t, a, c = c_state
@@ -99,7 +103,7 @@ def main():
         t = t - 0.01 * G / (jnp.sqrt(a) + 1e-8)
         return (t, a, c + t[0, 0])
 
-    r["dense_adagrad_full_ms"] = timed(dense_adagrad, (table, acc, jnp.zeros(())))
+    rec("dense_adagrad_full_ms", timed(dense_adagrad, (table, acc, jnp.zeros(()))))
 
     # sparse adagrad with hints end-to-end
     def sparse_hint(c_state):
@@ -113,9 +117,8 @@ def main():
         t = t.at[u].add(delta, mode="drop", indices_are_sorted=True, unique_indices=True)
         return (t, a, c + t[0, 0])
 
-    r["sparse_adagrad_hint_full_ms"] = timed(sparse_hint, (table, acc, jnp.zeros(())))
+    rec("sparse_adagrad_hint_full_ms", timed(sparse_hint, (table, acc, jnp.zeros(()))))
 
-    r = {k: round(v, 3) for k, v in r.items()}
     r.update(rows=ROWS, dim=DIM, n_ids=N, device=str(jax.devices()[0]))
     print(json.dumps(r))
 

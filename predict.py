@@ -1,0 +1,81 @@
+#!/usr/bin/env python
+"""Batch scoring / evaluation CLI — parity with the reference's
+evaluate/predict path (SURVEY.md §3.3: Module.loadModule + model.evaluate
+with AUC/Loss ValidationMethods).
+
+    python predict.py --ckpt-dir runs/xdeepfm --data test.tsv --out preds.txt
+    python predict.py --ckpt-dir runs/xdeepfm --data test.tsv   # metrics only
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--ckpt-dir", required=True, help="training checkpoint dir (with config.json)")
+    ap.add_argument("--data", required=True, help="criteo TSV path or 'synthetic'")
+    ap.add_argument("--out", default=None, help="write one probability per line")
+    ap.add_argument("--batch-size", type=int, default=None)
+    ap.add_argument("--max-batches", type=int, default=None)
+    ap.add_argument("--cpu", action="store_true")
+    args = ap.parse_args(argv)
+
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from recmodels_tpu.train.loop import Trainer, build_schema, build_source
+    from recmodels_tpu.train import metrics as metrics_lib
+    from recmodels_tpu.utils.config import TrainConfig
+
+    with open(f"{args.ckpt_dir}/config.json") as f:
+        cfg = TrainConfig.from_json(f.read())
+    overrides = [f"data={args.data!r}", "steps=0", "eval_every=0"]
+    if args.batch_size:
+        overrides.append(f"batch_size={args.batch_size}")
+    cfg = cfg.apply_overrides(overrides + [f"ckpt_dir={args.ckpt_dir!r}"])
+
+    trainer = Trainer(cfg)
+    state = trainer._shard(trainer.engine.init(jax.random.key(cfg.seed)))
+    state, _ = trainer.ckpt.restore(state)
+    trainer.logger.log_text(f"restored step {int(state.step)} from {args.ckpt_dir}")
+
+    schema = build_schema(cfg)
+    source = build_source(cfg, schema, args.data, seed=cfg.seed)
+    logits_fn = jax.jit(trainer.engine.logits)
+
+    auc_state = metrics_lib.auc_init()
+    out_f = open(args.out, "w") if args.out else None
+    n = 0
+    for i, b in enumerate(source):
+        if args.max_batches is not None and i >= args.max_batches:
+            break
+        if b.size != cfg.batch_size:
+            break  # static shapes; final ragged batch skipped
+        lg = logits_fn(state, jnp.asarray(b.dense), jnp.asarray(b.ids))
+        auc_state = metrics_lib.auc_update(auc_state, lg, jnp.asarray(b.labels))
+        n += b.size
+        if out_f:
+            for p in np.asarray(jax.nn.sigmoid(lg)):
+                out_f.write(f"{p:.6f}\n")
+        if args.data == "synthetic" and args.max_batches is None and i >= 19:
+            break  # synthetic stream is infinite
+    if out_f:
+        out_f.close()
+    out = metrics_lib.auc_compute(auc_state)
+    trainer.logger.log_text(
+        f"eval n={n} auc={float(out['auc']):.6f} logloss={float(out['logloss']):.6f}"
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

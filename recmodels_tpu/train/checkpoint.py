@@ -30,13 +30,18 @@ class CheckpointManager:
             ),
         )
 
-    def save(self, step: int, state: TrainState, data_state: dict | None = None) -> bool:
+    def save(self, step: int, state: TrainState, data_state: dict | None = None,
+             force: bool = False) -> bool:
+        """``force=True`` bypasses save_interval_steps (use for the final
+        save — otherwise orbax silently skips it and a restore resumes from
+        a much older step)."""
         return self._mgr.save(
             step,
             args=ocp.args.Composite(
                 state=ocp.args.StandardSave(state),
                 data=ocp.args.JsonSave(data_state or {}),
             ),
+            force=force,
         )
 
     def latest_step(self) -> int | None:

@@ -90,6 +90,7 @@ class Trainer:
             if cfg.ckpt_dir
             else None
         )
+        self.profile_dir: str | None = None  # set to capture a trace of steps 10-20
 
     # ------------------------------------------------------------------ run
     def run(self) -> dict:
@@ -117,12 +118,18 @@ class Trainer:
         examples_since = 0
         final = {}
         for i in range(start_step, cfg.steps):
+            if self.profile_dir is not None and i == 10:
+                jax.profiler.start_trace(self.profile_dir)
             b = next(it)
             state, m = self.train_step(
                 state, jnp.asarray(b.dense), jnp.asarray(b.ids), jnp.asarray(b.labels)
             )
             examples_since += b.size
             step_no = i + 1
+            if self.profile_dir is not None and step_no == 20:
+                jax.tree.leaves(state)[0].block_until_ready()
+                jax.profiler.stop_trace()
+                self.logger.log_text(f"profiler trace written to {self.profile_dir}")
             if step_no % cfg.log_every == 0:
                 now = time.time()
                 eps = examples_since / max(now - t_last, 1e-9)
@@ -137,7 +144,8 @@ class Trainer:
         if cfg.eval_every and (cfg.steps % cfg.eval_every) != 0:
             final = self.evaluate(state, cfg.steps)
         if self.ckpt is not None:
-            self.ckpt.save(cfg.steps, state, data_state=source.state())
+            if self.ckpt.latest_step() != cfg.steps:  # loop may have saved it
+                self.ckpt.save(cfg.steps, state, data_state=source.state(), force=True)
             self.ckpt.wait()
         self.state = state
         return final

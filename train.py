@@ -28,6 +28,8 @@ def main(argv=None):
     ap.add_argument("--set", action="append", default=[], metavar="KEY=VALUE",
                     help="config override, repeatable")
     ap.add_argument("--cpu", action="store_true", help="force CPU backend")
+    ap.add_argument("--profile-dir", default=None,
+                    help="capture a jax.profiler trace of steps 10-20 into this dir")
     args = ap.parse_args(argv)
 
     if args.cpu:
@@ -61,6 +63,8 @@ def main(argv=None):
         f"model={cfg.model} devices={trainer.n_devices} batch={cfg.batch_size} "
         f"steps={cfg.steps} data={cfg.data}"
     )
+    if args.profile_dir:
+        trainer.profile_dir = args.profile_dir
     final = trainer.run()
     trainer.logger.log_text(f"done: {final}")
     return 0
