@@ -50,6 +50,11 @@ def timed(fn, carry, k=20):
 
 
 def main():
+    import argparse
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--only", default=None, help="comma-separated item keys to run")
+    opts = ap.parse_args()
+    only = set(opts.only.split(",")) if opts.only else None
     rng = np.random.default_rng(0)
     ids = jnp.asarray(rng.integers(0, ROWS, size=(N,)).astype(np.int32))
     grads = jnp.asarray(rng.normal(size=(N, DIM)).astype(np.float32))
@@ -57,12 +62,17 @@ def main():
     acc = jnp.abs(table) + 0.1
     r = {}
 
-    def rec(key, val):
-        r[key] = round(val, 3)
+    def want(key):
+        return only is None or key in only
+
+    def rec(key, val_fn):
+        if not want(key):
+            return
+        r[key] = round(val_fn(), 3)
         print(f"{key}: {r[key]}", flush=True)
 
-    rec("argsort_ms", timed(lambda c: c + ids[jnp.argsort(ids)][0].astype(jnp.float32), jnp.zeros(())))
-    rec("dedup_ms", timed(
+    rec("argsort_ms", lambda: timed(lambda c: c + ids[jnp.argsort(ids)][0].astype(jnp.float32), jnp.zeros(())))
+    rec("dedup_ms", lambda: timed(
         lambda c: c + dedup_segment_sum(ids, grads, ROWS)[1][0, 0], jnp.zeros(())
     ))
 
@@ -72,7 +82,7 @@ def main():
         t = table.at[uids].set(gsum, mode="drop")
         return c + t[0, 0]
 
-    rec("scatter_set_ms", timed(scat_set, jnp.zeros(())))
+    rec("scatter_set_ms", lambda: timed(scat_set, jnp.zeros(())))
 
     # sorted+unique variant: tail sentinels made distinct and ascending
     n = uids.shape[0]
@@ -82,19 +92,19 @@ def main():
         t = table.at[uids_u].set(gsum, mode="drop", indices_are_sorted=True, unique_indices=True)
         return c + t[0, 0]
 
-    rec("scatter_set_sorted_unique_ms", timed(scat_set_hint, jnp.zeros(())))
+    rec("scatter_set_sorted_unique_ms", lambda: timed(scat_set_hint, jnp.zeros(())))
 
     def gath(c):
         g = acc.at[uids_u].get(mode="fill", fill_value=0.0, indices_are_sorted=True, unique_indices=True)
         return c + g[0, 0]
 
-    rec("gather_hint_ms", timed(gath, jnp.zeros(())))
+    rec("gather_hint_ms", lambda: timed(gath, jnp.zeros(())))
 
     def dense_grad_build(c):
         G = jnp.zeros((ROWS, DIM), jnp.float32).at[ids].add(grads)
         return c + G[0, 0]
 
-    rec("dense_grad_scatter_add_ms", timed(dense_grad_build, jnp.zeros(())))
+    rec("dense_grad_scatter_add_ms", lambda: timed(dense_grad_build, jnp.zeros(())))
 
     def dense_adagrad(c_state):
         t, a, c = c_state
@@ -103,7 +113,7 @@ def main():
         t = t - 0.01 * G / (jnp.sqrt(a) + 1e-8)
         return (t, a, c + t[0, 0])
 
-    rec("dense_adagrad_full_ms", timed(dense_adagrad, (table, acc, jnp.zeros(()))))
+    rec("dense_adagrad_full_ms", lambda: timed(dense_adagrad, (table, acc, jnp.zeros(()))))
 
     # sparse adagrad with hints end-to-end
     def sparse_hint(c_state):
@@ -117,7 +127,7 @@ def main():
         t = t.at[u].add(delta, mode="drop", indices_are_sorted=True, unique_indices=True)
         return (t, a, c + t[0, 0])
 
-    rec("sparse_adagrad_hint_full_ms", timed(sparse_hint, (table, acc, jnp.zeros(()))))
+    rec("sparse_adagrad_hint_full_ms", lambda: timed(sparse_hint, (table, acc, jnp.zeros(()))))
 
     r.update(rows=ROWS, dim=DIM, n_ids=N, device=str(jax.devices()[0]))
     print(json.dumps(r))

@@ -98,7 +98,14 @@ class CriteoTSVSource:
         shard_index: int = 0,
         shard_count: int = 1,
         loop: bool = False,
+        shuffle_buffer: int = 0,
+        seed: int = 0,
     ):
+        """``shuffle_buffer > 0`` enables a windowed shuffle (the host-local
+        stand-in for the reference's Spark RDD shuffle): rows fill a buffer
+        of that size and each emitted row is drawn uniformly from it. Fully
+        deterministic given (seed, cursor) — resume replays identically
+        because the RNG is re-derived from the row cursor."""
         if not os.path.exists(path):
             raise FileNotFoundError(path)
         self.path = path
@@ -107,6 +114,8 @@ class CriteoTSVSource:
         self.shard_index = shard_index
         self.shard_count = shard_count
         self.loop = loop
+        self.shuffle_buffer = shuffle_buffer
+        self.seed = seed
         self._rows_consumed = 0  # rows of *this shard* already emitted
 
     def state(self) -> dict:
@@ -115,30 +124,49 @@ class CriteoTSVSource:
     def set_state(self, state: dict) -> None:
         self._rows_consumed = int(state["rows_consumed"])
 
+    def _shard_lines(self) -> Iterator[bytes]:
+        """This shard's rows, in deterministic (possibly shuffled) order."""
+        epoch = 0
+        while True:
+            if self.shuffle_buffer > 1:
+                rng = np.random.default_rng((self.seed ^ 0x5EED) + 7919 * epoch)
+                window: list[bytes] = []
+                with open(self.path, "rb") as f:
+                    for i, line in enumerate(f):
+                        if i % self.shard_count != self.shard_index:
+                            continue
+                        window.append(line)
+                        if len(window) >= self.shuffle_buffer:
+                            j = int(rng.integers(0, len(window)))
+                            window[j], window[-1] = window[-1], window[j]
+                            yield window.pop()
+                rng.shuffle(window)
+                yield from window
+                epoch += 1
+            else:
+                with open(self.path, "rb") as f:
+                    for i, line in enumerate(f):
+                        if i % self.shard_count == self.shard_index:
+                            yield line
+                epoch += 1
+            if not self.loop:
+                return
+
     def __iter__(self) -> Iterator[Batch]:
         skip = self._rows_consumed
-        while True:
-            with open(self.path, "rb") as f:
-                buf: list[bytes] = []
-                for i, line in enumerate(f):
-                    if i % self.shard_count != self.shard_index:
-                        continue
-                    if skip > 0:
-                        skip -= 1
-                        continue
-                    buf.append(line)
-                    if len(buf) == self.batch_size:
-                        self._rows_consumed += len(buf)
-                        yield parse_criteo_batch(buf, self.schema)
-                        buf = []
-            if not self.loop:
-                if buf:
-                    self._rows_consumed += len(buf)
-                    yield parse_criteo_batch(buf, self.schema)
-                return
-            # loop: restart file; cursor keeps monotonically increasing
-            skip = 0
-            self._rows_consumed = 0
+        buf: list[bytes] = []
+        for line in self._shard_lines():
+            if skip > 0:
+                skip -= 1
+                continue
+            buf.append(line)
+            if len(buf) == self.batch_size:
+                self._rows_consumed += len(buf)
+                yield parse_criteo_batch(buf, self.schema)
+                buf = []
+        if buf:
+            self._rows_consumed += len(buf)
+            yield parse_criteo_batch(buf, self.schema)
 
 
 class SyntheticSource:

@@ -179,9 +179,16 @@ class ShardedTables:
         local_idx = jnp.where(
             (local_idx >= 0) & (local_idx < rows_per_shard), local_idx, rows_per_shard
         ).astype(jnp.int32)
-        uids, gsum, _ = dedup_segment_sum(
-            local_idx, recv_grads.reshape(-1, dim), rows_per_shard
-        )
+        grads_flat = recv_grads.reshape(-1, dim)
+        from recmodels_tpu.embedding.optim import choose_dense_update
+
+        if choose_dense_update(
+            rows_per_shard, dim, local_idx.shape[0], self.sparse_opt.apply_dense is not None
+        ):
+            return self.sparse_opt.apply_dense(
+                table_local, opt_state, local_idx, grads_flat, step, lr
+            )
+        uids, gsum, _ = dedup_segment_sum(local_idx, grads_flat, rows_per_shard)
         return self.sparse_opt.apply(table_local, opt_state, uids, gsum, step, lr)
 
     # ----------------------------------------------------- engine strategy

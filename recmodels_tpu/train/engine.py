@@ -68,16 +68,27 @@ class LocalTables:
         }
 
     def apply_grads(self, emb_params, emb_opt, gids, grad_rows, step, lr):
+        from recmodels_tpu.embedding.optim import choose_dense_update
+
         new_params, new_opt = {}, {}
         for name, coll in self.collections.items():
             new_params[name], new_opt[name] = {}, {}
             for g in coll.groups:
                 ids_flat = gids[name][g.name].reshape(-1)
                 gr_flat = grad_rows[name][g.name].reshape(-1, g.dim)
-                uids, gsum, _ = dedup_segment_sum(ids_flat, gr_flat, g.total_rows)
-                table, opt = self.sparse_opt.apply(
-                    emb_params[name][g.name], emb_opt[name][g.name], uids, gsum, step, lr
-                )
+                if choose_dense_update(
+                    g.total_rows, g.dim, ids_flat.shape[0],
+                    self.sparse_opt.apply_dense is not None,
+                ):
+                    table, opt = self.sparse_opt.apply_dense(
+                        emb_params[name][g.name], emb_opt[name][g.name],
+                        ids_flat, gr_flat, step, lr,
+                    )
+                else:
+                    uids, gsum, _ = dedup_segment_sum(ids_flat, gr_flat, g.total_rows)
+                    table, opt = self.sparse_opt.apply(
+                        emb_params[name][g.name], emb_opt[name][g.name], uids, gsum, step, lr
+                    )
                 new_params[name][g.name] = table
                 new_opt[name][g.name] = opt
         return new_params, new_opt

@@ -37,7 +37,14 @@ def build_source(cfg: TrainConfig, schema: Schema, spec: str, seed: int,
             schema, cfg.batch_size, seed=seed, shard_index=shard_index, shard_count=shard_count
         )
     return CriteoTSVSource(
-        spec, schema, cfg.batch_size, shard_index=shard_index, shard_count=shard_count, loop=True
+        spec,
+        schema,
+        cfg.batch_size,
+        shard_index=shard_index,
+        shard_count=shard_count,
+        loop=True,
+        shuffle_buffer=cfg.shuffle_buffer,
+        seed=seed,
     )
 
 

@@ -31,6 +31,7 @@ class TrainConfig:
     data: str = "synthetic"  # "synthetic" | path to criteo TSV
     val_data: str | None = None
     batch_size: int = 8192
+    shuffle_buffer: int = 0  # >0: windowed shuffle of the TSV stream
     # schedule
     steps: int = 1000
     log_every: int = 50

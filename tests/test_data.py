@@ -105,3 +105,30 @@ def test_synthetic_signal_is_learnable():
     logit += 0.5 * ((s * s).sum(1) - (emb * emb).sum((1, 2))) * 0.15
     state = auc_update(auc_init(), jnp.asarray(logit.astype(np.float32)), jnp.asarray(batch.labels))
     assert float(auc_compute(state)["auc"]) > 0.7
+
+
+def test_tsv_shuffle_deterministic_and_resumable(tmp_path):
+    path = _write_tsv(tmp_path, n=100, seed=4)
+    kw = dict(batch_size=10, shuffle_buffer=32, seed=7)
+    a = CriteoTSVSource(path, SCH, **kw)
+    b = CriteoTSVSource(path, SCH, **kw)
+    ita, itb = iter(a), iter(b)
+    for _ in range(3):
+        ba, bb = next(ita), next(itb)
+        np.testing.assert_array_equal(ba.ids, bb.ids)
+    state = a.state()
+    nxt = next(ita)
+    c = CriteoTSVSource(path, SCH, **kw)
+    c.set_state(state)
+    np.testing.assert_array_equal(next(iter(c)).ids, nxt.ids)
+
+
+def test_tsv_shuffle_covers_all_rows_permuted(tmp_path):
+    path = _write_tsv(tmp_path, n=60, seed=5)
+    plain = [b for b in CriteoTSVSource(path, SCH, batch_size=60)][0]
+    shuf = [b for b in CriteoTSVSource(path, SCH, batch_size=60, shuffle_buffer=16, seed=1)][0]
+    # same multiset of rows, different order
+    assert sorted(plain.labels.tolist()) == sorted(shuf.labels.tolist())
+    key_p = plain.ids[:, 0].tolist()
+    key_s = shuf.ids[:, 0].tolist()
+    assert key_p != key_s and sorted(key_p) == sorted(key_s)

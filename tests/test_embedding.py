@@ -66,8 +66,10 @@ def test_dedup_segment_sum_accumulates_duplicates():
         3: [0 + 4 + 6.0, 1 + 5 + 7.0],
         7: [8.0, 9.0],
     }
-    # padding entries must carry the out-of-bounds sentinel
-    assert np.all(np.asarray(uids)[np.asarray(valid) == False] == 10)  # noqa: E712
+    # padding entries must carry strictly-sorted unique out-of-bounds sentinels
+    pad = np.asarray(uids)[np.asarray(valid) == False]  # noqa: E712
+    assert np.all(pad >= 10) and len(set(pad.tolist())) == len(pad)
+    assert np.all(np.diff(np.asarray(uids)) > 0)  # fully sorted + unique
 
 
 def test_sparse_adagrad_equals_dense_adagrad():
@@ -132,3 +134,48 @@ def test_sentinel_never_corrupts_row_zero():
     np.testing.assert_array_equal(t[0], [1.0, 1.0])  # row 0 untouched
     assert not np.allclose(t[4], [1.0, 1.0])  # row 4 updated
     np.testing.assert_array_equal(np.asarray(state["m"])[0], [0.0, 0.0])
+
+
+def test_dense_update_path_equals_sparse_path():
+    """Auto-chosen dense Adagrad update == sorted-sparse update exactly."""
+    from recmodels_tpu.embedding.optim import choose_dense_update
+
+    num_rows, dim = 100, 4
+    rng = np.random.default_rng(5)
+    table = jnp.asarray(rng.normal(size=(num_rows, dim)).astype(np.float32))
+    opt = sparse_adagrad(initial_accumulator=0.1)
+    s_sparse = opt.init(num_rows, dim)
+    s_dense = opt.init(num_rows, dim)
+    t_sparse, t_dense = table, table
+    assert choose_dense_update(num_rows, dim, 32, True)
+    for step in range(4):
+        ids = jnp.asarray(rng.integers(0, num_rows, size=32).astype(np.int32))
+        grads = jnp.asarray(rng.normal(size=(32, dim)).astype(np.float32))
+        uids, gsum, _ = dedup_segment_sum(ids, grads, num_rows)
+        t_sparse, s_sparse = opt.apply(t_sparse, s_sparse, uids, gsum, jnp.asarray(step), 0.05)
+        t_dense, s_dense = opt.apply_dense(t_dense, s_dense, ids, grads, jnp.asarray(step), 0.05)
+    np.testing.assert_allclose(np.asarray(t_sparse), np.asarray(t_dense), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(s_sparse["acc"]), np.asarray(s_dense["acc"]), rtol=1e-5, atol=1e-6
+    )
+
+
+def test_dense_adam_matches_manual():
+    from recmodels_tpu.embedding.optim import dense_adam
+
+    num_rows, dim = 20, 3
+    rng = np.random.default_rng(6)
+    table0 = rng.normal(size=(num_rows, dim)).astype(np.float32)
+    opt = dense_adam()
+    state = opt.init(num_rows, dim)
+    ids = jnp.asarray(np.array([2, 5, 2], np.int32))
+    grads = jnp.asarray(rng.normal(size=(3, dim)).astype(np.float32))
+    table, state = opt.apply_dense(jnp.asarray(table0), state, ids, grads, jnp.asarray(0), 0.01)
+    g = np.zeros((num_rows, dim), np.float32)
+    np.add.at(g, np.asarray(ids), np.asarray(grads))
+    m = 0.1 * g
+    v = 0.001 * g * g
+    expected = table0 - 0.01 * (m / (1 - 0.9)) / (np.sqrt(v / (1 - 0.999)) + 1e-8)
+    np.testing.assert_allclose(np.asarray(table), expected, rtol=1e-5, atol=1e-6)
+    # untouched rows DO move (zero grad, but bias-corrected zero -> zero delta)
+    np.testing.assert_allclose(np.asarray(table)[0], expected[0], rtol=1e-6)
