@@ -37,6 +37,9 @@ MODEL_KW = {
     "pnn": {"hidden": (400, 400), "mode": "both"},
     "dcn": {"hidden": (512, 256), "n_cross": 3},
     "xdeepfm": {"hidden": (400, 400), "cin_sizes": (128, 128)},
+    "widedeep": {"hidden": (256, 128)},
+    "nfm": {"hidden": (128, 128)},
+    "afm": {"attention_dim": 32},
 }
 
 

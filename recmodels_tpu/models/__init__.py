@@ -8,6 +8,9 @@ from recmodels_tpu.models.deepfm import DeepFMModel
 from recmodels_tpu.models.pnn import PNNModel
 from recmodels_tpu.models.dcn import DCNModel
 from recmodels_tpu.models.xdeepfm import XDeepFMModel
+from recmodels_tpu.models.widedeep import WideDeepModel
+from recmodels_tpu.models.nfm import NFMModel
+from recmodels_tpu.models.afm import AFMModel
 
 MODEL_REGISTRY = {
     "lr": LRModel,
@@ -16,6 +19,10 @@ MODEL_REGISTRY = {
     "pnn": PNNModel,
     "dcn": DCNModel,
     "xdeepfm": XDeepFMModel,
+    # adjacent classic CTR models (same engine, zero extra infrastructure)
+    "widedeep": WideDeepModel,
+    "nfm": NFMModel,
+    "afm": AFMModel,
 }
 
 

@@ -101,6 +101,21 @@ def cin_stack(x0: jnp.ndarray, ws) -> jnp.ndarray:
     return jnp.concatenate(pools, axis=1)
 
 
+def fm_bi_interaction(emb: jnp.ndarray) -> jnp.ndarray:
+    """NFM bi-interaction pooling (arXiv:1708.05027 eq. 4): the FM pairwise
+    term BEFORE the final sum over dims — ``0.5[(Σ_f e)² − Σ_f e²]`` per dim.
+    emb: [B, F, D] -> [B, D]. (``fm_pairwise == sum(fm_bi_interaction, -1)``.)"""
+    s = jnp.sum(emb, axis=1)
+    return 0.5 * (s * s - jnp.sum(emb * emb, axis=1))
+
+
+def afm_pair_products(emb: jnp.ndarray) -> jnp.ndarray:
+    """AFM pairwise element-wise products (arXiv:1708.04617 §3):
+    p_ij = e_i ∘ e_j for i<j. emb: [B, F, D] -> [B, F(F-1)/2, D]."""
+    fi, fj = triu_pair_indices(emb.shape[1])
+    return emb[:, fi, :] * emb[:, fj, :]
+
+
 def dcn_cross_stack(x0: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     """All L cross layers: x0 [B, d], w [L, d], b [L, d] -> x_L [B, d]."""
     xl = x0

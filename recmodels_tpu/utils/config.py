@@ -50,10 +50,10 @@ class TrainConfig:
         import jax.numpy as jnp
 
         kw = {}
-        if self.model in ("deepfm", "pnn", "dcn", "xdeepfm"):
+        if self.model in ("deepfm", "pnn", "dcn", "xdeepfm", "widedeep", "nfm"):
             kw["hidden"] = tuple(self.hidden)
-            if self.bf16:
-                kw["compute_dtype"] = jnp.bfloat16
+        if self.bf16 and self.model not in ("lr", "fm"):
+            kw["compute_dtype"] = jnp.bfloat16
         if self.model == "xdeepfm":
             kw["cin_sizes"] = tuple(self.cin_sizes)
         if self.model == "pnn":

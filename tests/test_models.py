@@ -19,6 +19,9 @@ MODEL_KW = {
     "pnn": {"hidden": (32, 32), "mode": "both"},
     "dcn": {"hidden": (32,), "n_cross": 3},
     "xdeepfm": {"hidden": (32,), "cin_sizes": (16, 16)},
+    "widedeep": {"hidden": (32, 32)},
+    "nfm": {"hidden": (32,)},
+    "afm": {"attention_dim": 8},
 }
 
 

@@ -16,7 +16,7 @@ import sys
 def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--model", default=None,
-                    choices=["lr", "fm", "deepfm", "pnn", "dcn", "xdeepfm"])
+                    choices=["lr", "fm", "deepfm", "pnn", "dcn", "xdeepfm", "widedeep", "nfm", "afm"])
     ap.add_argument("--data", default=None, help="'synthetic' or criteo TSV path")
     ap.add_argument("--val-data", default=None)
     ap.add_argument("--steps", type=int, default=None)
