@@ -97,7 +97,8 @@ def sparse_adagrad(eps: float = 1e-8, initial_accumulator: float = 0.1) -> Spars
     """Per-element Adagrad on touched rows (== dense Adagrad semantics)."""
 
     def init(num_rows: int, dim: int) -> Dict[str, jnp.ndarray]:
-        return {"acc": jnp.full((num_rows, dim), initial_accumulator, jnp.float32)}
+        shape = (num_rows,) if dim == 1 else (num_rows, dim)
+        return {"acc": jnp.full(shape, initial_accumulator, jnp.float32)}
 
     def apply(table, state, uids, gsum, step, lr):
         del step
@@ -129,9 +130,10 @@ def sparse_adam(b1: float = 0.9, b2: float = 0.999, eps: float = 1e-8) -> Sparse
     """
 
     def init(num_rows: int, dim: int) -> Dict[str, jnp.ndarray]:
+        shape = (num_rows,) if dim == 1 else (num_rows, dim)
         return {
-            "m": jnp.zeros((num_rows, dim), jnp.float32),
-            "v": jnp.zeros((num_rows, dim), jnp.float32),
+            "m": jnp.zeros(shape, jnp.float32),
+            "v": jnp.zeros(shape, jnp.float32),
         }
 
     def apply(table, state, uids, gsum, step, lr):
@@ -161,9 +163,10 @@ def dense_adam(b1: float = 0.9, b2: float = 0.999, eps: float = 1e-8) -> SparseO
     dense-update regime."""
 
     def init(num_rows: int, dim: int) -> Dict[str, jnp.ndarray]:
+        shape = (num_rows,) if dim == 1 else (num_rows, dim)
         return {
-            "m": jnp.zeros((num_rows, dim), jnp.float32),
-            "v": jnp.zeros((num_rows, dim), jnp.float32),
+            "m": jnp.zeros(shape, jnp.float32),
+            "v": jnp.zeros(shape, jnp.float32),
         }
 
     def apply_dense(table, state, ids, grads, step, lr):

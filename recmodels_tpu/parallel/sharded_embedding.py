@@ -87,13 +87,11 @@ class ShardedTables:
         for name, coll in self.collections.items():
             rng, sub = jax.random.split(rng)
             tables = coll.init(sub)
-            out[name] = {
-                g.name: jnp.pad(
-                    tables[g.name],
-                    ((0, self.padded_rows(name, g) - g.total_rows), (0, 0)),
-                )
-                for g in coll.groups
-            }
+            out[name] = {}
+            for g in coll.groups:
+                pad = self.padded_rows(name, g) - g.total_rows
+                widths = ((0, pad),) if g.dim == 1 else ((0, pad), (0, 0))
+                out[name][g.name] = jnp.pad(tables[g.name], widths)
         return out
 
     def init_opt(self, params) -> Dict[str, Dict[str, Any]]:
@@ -135,6 +133,7 @@ class ShardedTables:
     def _gather_group(self, table_local, ids_flat, rows_per_shard, with_stats=False):
         d = self.n_shards
         n = ids_flat.shape[0]
+        one_d = table_local.ndim == 1  # dim-1 tables are stored 1-D
         cap = self._capacity(n)
         slots, send_ids, order, inv_order, overflow = self._plan(ids_flat, rows_per_shard, cap)
         # hop 1: requester -> owner (ids)
@@ -145,10 +144,11 @@ class ShardedTables:
         local_idx = recv_ids - my_index * rows_per_shard  # sentinel stays OOB
         rows = table_local.at[local_idx.reshape(-1)].get(mode="fill", fill_value=0.0)
         # hop 2: owner -> requester (rows)
+        shape = (d, cap) if one_d else (d, cap, rows.shape[-1])
         back = jax.lax.all_to_all(
-            rows.reshape(d, cap, -1), self.axis_name, split_axis=0, concat_axis=0
+            rows.reshape(shape), self.axis_name, split_axis=0, concat_axis=0
         )
-        flat_rows = back.reshape(d * cap, -1)
+        flat_rows = back.reshape((d * cap,) if one_d else (d * cap, -1))
         sorted_rows = flat_rows.at[slots].get(mode="fill", fill_value=0.0)
         out = sorted_rows[inv_order]
         if with_stats:
@@ -159,18 +159,20 @@ class ShardedTables:
                        rows_per_shard, step, lr):
         d = self.n_shards
         n = ids_flat.shape[0]
+        one_d = grads_flat.ndim == 1  # dim-1 group: grads are [N]
         cap = self._capacity(n)
-        dim = grads_flat.shape[-1]
         slots, send_ids, order, inv_order, _ = self._plan(ids_flat, rows_per_shard, cap)
         sorted_grads = grads_flat[order]
-        send_grads = jnp.zeros((d * cap, dim), grads_flat.dtype)
+        buf_shape = (d * cap,) if one_d else (d * cap, grads_flat.shape[-1])
+        send_grads = jnp.zeros(buf_shape, grads_flat.dtype)
         send_grads = send_grads.at[slots].set(sorted_grads, mode="drop")
         # grads ride requester -> owner, aligned with the id buckets
         recv_ids = jax.lax.all_to_all(
             send_ids.reshape(d, cap), self.axis_name, split_axis=0, concat_axis=0
         )
+        a2a_shape = (d, cap) if one_d else (d, cap, grads_flat.shape[-1])
         recv_grads = jax.lax.all_to_all(
-            send_grads.reshape(d, cap, dim), self.axis_name, split_axis=0, concat_axis=0
+            send_grads.reshape(a2a_shape), self.axis_name, split_axis=0, concat_axis=0
         )
         my_index = jax.lax.axis_index(self.axis_name)
         local_idx = (recv_ids - my_index * rows_per_shard).reshape(-1)
@@ -179,16 +181,17 @@ class ShardedTables:
         local_idx = jnp.where(
             (local_idx >= 0) & (local_idx < rows_per_shard), local_idx, rows_per_shard
         ).astype(jnp.int32)
-        grads_flat = recv_grads.reshape(-1, dim)
+        recv_flat = recv_grads.reshape((-1,) if one_d else (-1, grads_flat.shape[-1]))
         from recmodels_tpu.embedding.optim import choose_dense_update
 
+        dim = 1 if one_d else grads_flat.shape[-1]
         if choose_dense_update(
             rows_per_shard, dim, local_idx.shape[0], self.sparse_opt.apply_dense is not None
         ):
             return self.sparse_opt.apply_dense(
-                table_local, opt_state, local_idx, grads_flat, step, lr
+                table_local, opt_state, local_idx, recv_flat, step, lr
             )
-        uids, gsum, _ = dedup_segment_sum(local_idx, grads_flat, rows_per_shard)
+        uids, gsum, _ = dedup_segment_sum(local_idx, recv_flat, rows_per_shard)
         return self.sparse_opt.apply(table_local, opt_state, uids, gsum, step, lr)
 
     # ----------------------------------------------------- engine strategy
@@ -202,7 +205,7 @@ class ShardedTables:
                 rows = self._gather_group(
                     emb_params[name][g.name], ids.reshape(-1), self.rows_per_shard(name, g)
                 )
-                out[name][g.name] = rows.reshape(b, ns, g.dim)
+                out[name][g.name] = rows.reshape(b, ns, g.dim)  # 1-D groups expand here
         return out
 
     def gather_with_stats(self, emb_params, gids):
@@ -219,7 +222,7 @@ class ShardedTables:
                     self.rows_per_shard(name, g),
                     with_stats=True,
                 )
-                out[name][g.name] = rows.reshape(b, ns, g.dim)
+                out[name][g.name] = rows.reshape(b, ns, g.dim)  # 1-D groups expand
                 total = total + ovf
         return out, total
 
@@ -229,7 +232,8 @@ class ShardedTables:
             new_params[name], new_opt[name] = {}, {}
             for g in coll.groups:
                 ids = gids[name][g.name].reshape(-1)
-                gr = grad_rows[name][g.name].reshape(-1, g.dim)
+                gr0 = grad_rows[name][g.name]
+                gr = gr0.reshape(-1) if g.dim == 1 else gr0.reshape(-1, g.dim)
                 table, opt = self._scatter_group(
                     emb_params[name][g.name],
                     emb_opt[name][g.name],

@@ -75,7 +75,9 @@ class LocalTables:
             new_params[name], new_opt[name] = {}, {}
             for g in coll.groups:
                 ids_flat = gids[name][g.name].reshape(-1)
-                gr_flat = grad_rows[name][g.name].reshape(-1, g.dim)
+                gr = grad_rows[name][g.name]
+                # dim-1 tables are 1-D [rows]; their grads flatten to [N]
+                gr_flat = gr.reshape(-1) if g.dim == 1 else gr.reshape(-1, g.dim)
                 if choose_dense_update(
                     g.total_rows, g.dim, ids_flat.shape[0],
                     self.sparse_opt.apply_dense is not None,
