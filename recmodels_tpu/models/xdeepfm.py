@@ -64,7 +64,15 @@ class XDeepFMModel(CTRModel):
     def apply(self, params, dense: jnp.ndarray, emb: EmbActivations) -> jnp.ndarray:
         cin_stack = get_op("cin_stack")
         x0 = emb["emb"]  # [B, m, D]
-        p = cin_stack(x0, params["cin_w"])  # [B, sum(H_k)]
+        if self.compute_dtype != jnp.float32:
+            # CIN on the MXU in bf16 (f32 accumulation via
+            # preferred_element_type inside the kernel/einsum)
+            p = cin_stack(
+                x0.astype(self.compute_dtype),
+                [w.astype(self.compute_dtype) for w in params["cin_w"]],
+            ).astype(jnp.float32)
+        else:
+            p = cin_stack(x0, params["cin_w"])  # [B, sum(H_k)]
         y_lin = jnp.sum(emb["wide"][..., 0], axis=1) + dense @ params["w_dense"]
         h = jnp.concatenate([flatten_slots(x0), dense], axis=1)
         y_dnn = mlp_apply(params["mlp"], h, final_linear=True, compute_dtype=self.compute_dtype)[:, 0]

@@ -82,7 +82,9 @@ def cin_layer(xk: jnp.ndarray, x0: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
     hard part 5).
     """
     # [B, D, H_k, m] outer products per depth slice, contracted immediately.
-    return jnp.einsum("bhd,bid,nhi->bnd", xk, x0, w)
+    # f32 accumulation regardless of input dtype (bf16 inputs OK on MXU).
+    out = jnp.einsum("bhd,bid,nhi->bnd", xk, x0, w, preferred_element_type=jnp.float32)
+    return out.astype(xk.dtype)
 
 
 def cin_sum_pool(xk: jnp.ndarray) -> jnp.ndarray:

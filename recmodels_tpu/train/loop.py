@@ -160,8 +160,15 @@ class Trainer:
     def evaluate(self, state, step_no: int) -> dict:
         cfg = self.cfg
         val_spec = cfg.val_data or cfg.data
-        # held-out stream: synthetic uses a disjoint seed, same planted task
-        val_src = build_source(cfg, self.schema, val_spec, seed=cfg.seed + 7_777_777)
+        from recmodels_tpu.parallel import multihost
+
+        h_idx, h_cnt = multihost.host_shard()
+        # held-out stream: synthetic uses a disjoint seed, same planted task;
+        # each host evaluates its own shard (histograms psum-merge on mesh)
+        val_src = build_source(
+            cfg, self.schema, val_spec, seed=cfg.seed + 7_777_777,
+            shard_index=h_idx, shard_count=h_cnt,
+        )
         auc_state = metrics_lib.auc_init()
         vit = iter(val_src)
         for _ in range(cfg.eval_batches):
