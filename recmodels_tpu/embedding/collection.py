@@ -33,6 +33,12 @@ import numpy as np
 from recmodels_tpu.data.schema import Schema
 
 
+ALLOC_MULTIPLE = 1024  # table allocations round up so the Pallas sorted-
+# scatter update kernel's row tiles divide evenly (pallas_update.TR); pad
+# rows are never addressed by hashed ids and sentinel writes there carry
+# zero gradients (no-ops)
+
+
 @dataclasses.dataclass(frozen=True)
 class DimGroup:
     """Slots sharing one embedding dim, stacked into one table."""
@@ -41,7 +47,11 @@ class DimGroup:
     dim: int
     slot_indices: tuple[int, ...]  # positions in schema.slots
     row_offsets: tuple[int, ...]  # per slot, offset into the stacked table
-    total_rows: int
+    total_rows: int  # logical rows (sum of vocabs)
+
+    @property
+    def alloc_rows(self) -> int:
+        return -(-self.total_rows // ALLOC_MULTIPLE) * ALLOC_MULTIPLE
 
 
 def build_groups(schema: Schema) -> tuple[DimGroup, ...]:
@@ -98,7 +108,7 @@ class EmbeddingCollection:
         for g in self.groups:
             rng, sub = jax.random.split(rng)
             s = scale if scale is not None else (0.0 if g.dim == 1 else 0.05)
-            shape = (g.total_rows,) if g.dim == 1 else (g.total_rows, g.dim)
+            shape = (g.alloc_rows,) if g.dim == 1 else (g.alloc_rows, g.dim)
             params[g.name] = (
                 jax.random.normal(sub, shape, dtype=jnp.float32) * s
             ).astype(self.dtype)
@@ -106,7 +116,7 @@ class EmbeddingCollection:
 
     def param_shapes(self) -> Dict[str, tuple]:
         return {
-            g.name: ((g.total_rows,) if g.dim == 1 else (g.total_rows, g.dim))
+            g.name: ((g.alloc_rows,) if g.dim == 1 else (g.alloc_rows, g.dim))
             for g in self.groups
         }
 

@@ -81,6 +81,7 @@ class SparseOptimizer:
     init: Callable[[int, int], Dict[str, jnp.ndarray]]
     apply: Callable[..., tuple[jnp.ndarray, Dict[str, jnp.ndarray]]]
     apply_dense: Callable[..., tuple[jnp.ndarray, Dict[str, jnp.ndarray]]] | None = None
+    hyper: dict | None = None  # hyperparams needed by fused kernel paths
 
 
 def choose_dense_update(num_rows: int, dim: int, n_ids: int,
@@ -91,6 +92,32 @@ def choose_dense_update(num_rows: int, dim: int, n_ids: int,
     if not has_dense:
         return False
     return num_rows <= 512 * n_ids and num_rows * dim * 4 <= 512 * 2**20
+
+
+def apply_updates(opt: "SparseOptimizer", table, state, ids_flat, grads_flat, step, lr):
+    """Route one group's update to the best implementation:
+
+    1. Pallas sorted-scatter sweep (Adagrad, 2-D tile-divisible tables on
+       TPU) — XLA's scatter serializes at ~100ns/row
+       (bench/profile_scatter.py), the kernel turns it into MXU work;
+    2. dense full-table update (small tables / dense-semantics optimizers);
+    3. sorted-sparse gather/scatter fallback (lazy Adam, odd shapes).
+    """
+    from recmodels_tpu.embedding import pallas_update
+
+    if opt.name == "adagrad" and pallas_update.supported(table):
+        uids, gsum, _ = dedup_segment_sum(ids_flat, grads_flat, table.shape[0])
+        h = opt.hyper
+        table, acc = pallas_update.sorted_adagrad_update(
+            table, state["acc"], uids, gsum, lr, h["eps"]
+        )
+        return table, {"acc": acc}
+    num_rows = table.shape[0]
+    dim = 1 if table.ndim == 1 else table.shape[1]
+    if choose_dense_update(num_rows, dim, ids_flat.shape[0], opt.apply_dense is not None):
+        return opt.apply_dense(table, state, ids_flat, grads_flat, step, lr)
+    uids, gsum, _ = dedup_segment_sum(ids_flat, grads_flat, num_rows)
+    return opt.apply(table, state, uids, gsum, step, lr)
 
 
 def sparse_adagrad(eps: float = 1e-8, initial_accumulator: float = 0.1) -> SparseOptimizer:
@@ -119,7 +146,8 @@ def sparse_adagrad(eps: float = 1e-8, initial_accumulator: float = 0.1) -> Spars
         table = table - (lr * g / (jnp.sqrt(acc) + eps)).astype(table.dtype)
         return table, {"acc": acc}
 
-    return SparseOptimizer("adagrad", init, apply, apply_dense)
+    return SparseOptimizer("adagrad", init, apply, apply_dense,
+                           hyper={"eps": eps, "initial_accumulator": initial_accumulator})
 
 
 def sparse_adam(b1: float = 0.9, b2: float = 0.999, eps: float = 1e-8) -> SparseOptimizer:

@@ -70,7 +70,10 @@ class ShardedTables:
 
     # ------------------------------------------------------------ geometry
     def padded_rows(self, coll: str, group) -> int:
-        return _cdiv(group.total_rows, self.n_shards) * self.n_shards
+        # multiple of n_shards (even shards) AND of 1024 per shard (the
+        # Pallas sorted-update kernel needs tile-divisible local tables)
+        unit = self.n_shards * 1024
+        return _cdiv(group.alloc_rows, unit) * unit
 
     def rows_per_shard(self, coll: str, group) -> int:
         return self.padded_rows(coll, group) // self.n_shards
@@ -89,7 +92,7 @@ class ShardedTables:
             tables = coll.init(sub)
             out[name] = {}
             for g in coll.groups:
-                pad = self.padded_rows(name, g) - g.total_rows
+                pad = self.padded_rows(name, g) - g.alloc_rows
                 widths = ((0, pad),) if g.dim == 1 else ((0, pad), (0, 0))
                 out[name][g.name] = jnp.pad(tables[g.name], widths)
         return out
@@ -182,17 +185,11 @@ class ShardedTables:
             (local_idx >= 0) & (local_idx < rows_per_shard), local_idx, rows_per_shard
         ).astype(jnp.int32)
         recv_flat = recv_grads.reshape((-1,) if one_d else (-1, grads_flat.shape[-1]))
-        from recmodels_tpu.embedding.optim import choose_dense_update
+        from recmodels_tpu.embedding.optim import apply_updates
 
-        dim = 1 if one_d else grads_flat.shape[-1]
-        if choose_dense_update(
-            rows_per_shard, dim, local_idx.shape[0], self.sparse_opt.apply_dense is not None
-        ):
-            return self.sparse_opt.apply_dense(
-                table_local, opt_state, local_idx, recv_flat, step, lr
-            )
-        uids, gsum, _ = dedup_segment_sum(local_idx, recv_flat, rows_per_shard)
-        return self.sparse_opt.apply(table_local, opt_state, uids, gsum, step, lr)
+        return apply_updates(
+            self.sparse_opt, table_local, opt_state, local_idx, recv_flat, step, lr
+        )
 
     # ----------------------------------------------------- engine strategy
     def gather(self, emb_params, gids):

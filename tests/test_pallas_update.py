@@ -1,0 +1,94 @@
+"""Pallas sorted-scatter update kernel vs reference sparse Adagrad
+(interpret mode on CPU; the same kernel compiles on TPU — exercised by
+bench.py)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from recmodels_tpu.embedding import pallas_update
+from recmodels_tpu.embedding.optim import dedup_segment_sum, sparse_adagrad
+
+
+@pytest.fixture(autouse=True)
+def _interpret(monkeypatch):
+    monkeypatch.setattr(pallas_update, "_INTERPRET", True)
+
+
+def _setup(rows=2048, dim=16, n=700, seed=0, logical_rows=None):
+    rng = np.random.default_rng(seed)
+    table = jnp.asarray(rng.normal(size=(rows, dim)).astype(np.float32))
+    acc = jnp.asarray((np.abs(rng.normal(size=(rows, dim))) + 0.1).astype(np.float32))
+    hi = logical_rows or rows
+    ids = jnp.asarray(rng.integers(0, hi, size=(n,)).astype(np.int32))
+    grads = jnp.asarray(rng.normal(size=(n, dim)).astype(np.float32))
+    return table, acc, ids, grads
+
+
+def test_kernel_matches_sparse_adagrad():
+    table, acc, ids, grads = _setup()
+    rows = table.shape[0]
+    uids, gsum, _ = dedup_segment_sum(ids, grads, rows)
+    lr, eps = 0.05, 1e-8
+
+    t_k, a_k = pallas_update.sorted_adagrad_update(table, acc, uids, gsum, lr, eps)
+
+    opt = sparse_adagrad(eps=eps)
+    t_r, st = opt.apply(table, {"acc": acc}, uids, gsum, jnp.asarray(0), lr)
+    np.testing.assert_allclose(np.asarray(t_k), np.asarray(t_r), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(a_k), np.asarray(st["acc"]), rtol=1e-5, atol=1e-6)
+
+
+def test_kernel_untouched_rows_unchanged():
+    table, acc, ids, grads = _setup(n=50)
+    rows = table.shape[0]
+    uids, gsum, _ = dedup_segment_sum(ids, grads, rows)
+    t_k, a_k = pallas_update.sorted_adagrad_update(table, acc, uids, gsum, 0.1, 1e-8)
+    touched = set(np.asarray(ids).tolist())
+    untouched = [r for r in range(rows) if r not in touched][:20]
+    np.testing.assert_array_equal(np.asarray(t_k)[untouched], np.asarray(table)[untouched])
+    np.testing.assert_array_equal(np.asarray(a_k)[untouched], np.asarray(acc)[untouched])
+
+
+def test_kernel_heavy_duplicates_single_row():
+    """All ids identical: one unique update; rest are sentinel no-ops."""
+    table, acc, _, grads = _setup(n=600)
+    rows = table.shape[0]
+    ids = jnp.full((600,), 777, jnp.int32)
+    uids, gsum, _ = dedup_segment_sum(ids, grads, rows)
+    t_k, a_k = pallas_update.sorted_adagrad_update(table, acc, uids, gsum, 0.05, 1e-8)
+    g = np.asarray(grads).sum(0)
+    a_exp = np.asarray(acc)[777] + g * g
+    t_exp = np.asarray(table)[777] - 0.05 * g / (np.sqrt(a_exp) + 1e-8)
+    np.testing.assert_allclose(np.asarray(t_k)[777], t_exp, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(a_k)[777], a_exp, rtol=1e-5)
+    np.testing.assert_array_equal(np.asarray(t_k)[778], np.asarray(table)[778])
+
+
+def test_kernel_sentinels_in_alloc_padding_are_noops():
+    """Sentinels that land inside allocation padding carry zero grads."""
+    table, acc, ids, grads = _setup(rows=2048, n=300, logical_rows=1500)
+    uids, gsum, _ = dedup_segment_sum(ids, grads, 1500)  # sentinels from 1500
+    t_k, a_k = pallas_update.sorted_adagrad_update(table, acc, uids, gsum, 0.05, 1e-8)
+    # pad rows (>=1500) untouched because their gsum rows are zero
+    np.testing.assert_allclose(
+        np.asarray(t_k)[1500:], np.asarray(table)[1500:], rtol=0, atol=0
+    )
+
+
+def test_engine_route_uses_kernel_and_matches_xla_route(monkeypatch):
+    """LocalTables via apply_updates (kernel) == dense XLA path numerically."""
+    from recmodels_tpu.embedding.optim import apply_updates
+
+    table, acc, ids, grads = _setup(rows=4096, dim=8, n=1000)
+    opt = sparse_adagrad()
+    t_k, s_k = apply_updates(opt, table, {"acc": acc}, ids, grads, jnp.asarray(0), 0.02)
+    # force non-kernel route
+    monkeypatch.setattr(pallas_update, "_INTERPRET", False)
+    monkeypatch.setattr(pallas_update, "supported", lambda t: False)
+    t_d, s_d = apply_updates(opt, table, {"acc": acc}, ids, grads, jnp.asarray(0), 0.02)
+    np.testing.assert_allclose(np.asarray(t_k), np.asarray(t_d), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(s_k["acc"]), np.asarray(s_d["acc"]), rtol=1e-5, atol=1e-6
+    )

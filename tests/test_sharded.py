@@ -70,7 +70,7 @@ def test_sharded_step_matches_local_oracle(sparse_opt):
         for g in coll.groups:
             np.testing.assert_allclose(
                 np.asarray(state_s.emb_params[cname][g.name])[: g.total_rows],
-                np.asarray(state_l.emb_params[cname][g.name]),
+                np.asarray(state_l.emb_params[cname][g.name])[: g.total_rows],
                 atol=0,
             )
 
@@ -90,7 +90,7 @@ def test_sharded_step_matches_local_oracle(sparse_opt):
     for cname, coll in eng_l.collections.items():
         for g in coll.groups:
             got = np.asarray(state_s.emb_params[cname][g.name])[: g.total_rows]
-            want = np.asarray(state_l.emb_params[cname][g.name])
+            want = np.asarray(state_l.emb_params[cname][g.name])[: g.total_rows]
             np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-6)
 
 
