@@ -18,3 +18,20 @@ jit'd step with dense Adam/Adagrad and sparse row-wise embedding optimizers
 """
 
 __version__ = "0.1.0"
+
+# Convenience top-level API (heavier modules import lazily underneath)
+from recmodels_tpu.data import criteo_schema, CriteoTSVSource, SyntheticSource  # noqa: E402
+from recmodels_tpu.models import build_model, MODEL_REGISTRY  # noqa: E402
+from recmodels_tpu.train.engine import Engine, TrainState  # noqa: E402
+from recmodels_tpu.utils.config import TrainConfig  # noqa: E402
+
+__all__ = [
+    "criteo_schema",
+    "CriteoTSVSource",
+    "SyntheticSource",
+    "build_model",
+    "MODEL_REGISTRY",
+    "Engine",
+    "TrainState",
+    "TrainConfig",
+]

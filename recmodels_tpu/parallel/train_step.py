@@ -121,3 +121,24 @@ def build_parallel_steps(engine: Engine, mesh, donate: bool = True):
     train_jit = jax.jit(train, donate_argnums=(0,) if donate else ())
     eval_jit = jax.jit(evaluate, donate_argnums=(1,))
     return train_jit, eval_jit
+
+
+def build_parallel_scan(engine: Engine, mesh, donate: bool = True):
+    """Multi-step variant: K steps per dispatch (lax.scan inside shard_map).
+    Batches stacked [K, B, ...], B split over ``data``. Returns
+    (state, {'loss': last, 'losses': [K]})."""
+    assert engine.axis_name == DATA_AXIS
+    xs_p = P(None, DATA_AXIS)
+
+    def scan_steps(state, dense, ids, labels):
+        specs = state_specs(state)
+        fn = _shard_map(
+            engine.train_scan,
+            mesh=mesh,
+            in_specs=(specs, xs_p, xs_p, xs_p),
+            out_specs=(specs, {"loss": P(), "losses": P()}),
+            check_vma=False,
+        )
+        return fn(state, dense, ids, labels)
+
+    return jax.jit(scan_steps, donate_argnums=(0,) if donate else ())

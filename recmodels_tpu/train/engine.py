@@ -108,11 +108,44 @@ class Engine:
     axis_name: str | None = None
     table_strategy: Any = None  # defaults to LocalTables
     emb_lr_schedule: Callable[[jnp.ndarray], jnp.ndarray] | None = None
+    fuse_wide: bool = True
 
     def __post_init__(self):
+        schemas = self.model.embedding_schemas()
+        # Wide-column fusion: models that want both a dim-1 'wide' collection
+        # and a vector 'emb' collection over the SAME vocab layout get ONE
+        # physical table of dim D+1 whose last column is the first-order
+        # weight. Saves a separate gather + dedup + update per step (and a
+        # whole all_to_all round-trip in sharded mode). Mathematically
+        # identical: per-element Adagrad treats columns independently.
+        self._fused_wide = (
+            self.fuse_wide
+            and set(schemas) >= {"wide", "emb"}
+            and schemas["emb"].uniform_dim
+            and schemas["wide"].vocab_sizes == schemas["emb"].vocab_sizes
+            and all(s.embed_dim == 1 for s in schemas["wide"].slots)
+        )
+        if self._fused_wide:
+            import dataclasses as _dc
+
+            from recmodels_tpu.data.schema import Schema
+
+            emb_sch = schemas["emb"]
+            self._emb_dim = emb_sch.max_dim
+            fused = Schema(
+                n_dense=emb_sch.n_dense,
+                slots=tuple(
+                    _dc.replace(s, embed_dim=s.embed_dim + 1) for s in emb_sch.slots
+                ),
+            )
+            coll_schemas = {"emb": fused}
+            coll_schemas.update(
+                {k: v for k, v in schemas.items() if k not in ("wide", "emb")}
+            )
+        else:
+            coll_schemas = schemas
         self.collections = {
-            name: EmbeddingCollection(sch)
-            for name, sch in self.model.embedding_schemas().items()
+            name: EmbeddingCollection(sch) for name, sch in coll_schemas.items()
         }
         self.sparse_opt = get_sparse_optimizer(self.sparse_optimizer)
         if self.table_strategy is None:
@@ -134,6 +167,11 @@ class Engine:
         r_dense, r_emb = jax.random.split(rng)
         dense_params = self.model.init_dense(r_dense)
         emb_params = self.table_strategy.init_params(r_emb)
+        if self._fused_wide:
+            # the fused wide column starts at zero (LR/FM linear-term init)
+            emb_params["emb"] = {
+                g: t.at[:, -1].set(0.0) for g, t in emb_params["emb"].items()
+            }
         return TrainState(
             step=jnp.zeros((), jnp.int32),
             dense_params=dense_params,
@@ -163,6 +201,10 @@ class Engine:
 
     def _forward_from_rows(self, dense_params, rows, dense):
         emb = {name: coll.combine(rows[name]) for name, coll in self.collections.items()}
+        if self._fused_wide:
+            full = emb.pop("emb")  # [B, slots, D+1]
+            emb["emb"] = full[..., : self._emb_dim]
+            emb["wide"] = full[..., self._emb_dim :]
         return self.model.apply(dense_params, dense, emb)
 
     def logits(self, state: TrainState, dense: jnp.ndarray, ids: jnp.ndarray) -> jnp.ndarray:

@@ -179,3 +179,45 @@ def test_dense_adam_matches_manual():
     np.testing.assert_allclose(np.asarray(table), expected, rtol=1e-5, atol=1e-6)
     # untouched rows DO move (zero grad, but bias-corrected zero -> zero delta)
     np.testing.assert_allclose(np.asarray(table)[0], expected[0], rtol=1e-6)
+
+
+def test_fused_wide_column_equivalence():
+    """Engine(fuse_wide=True) == Engine(fuse_wide=False) when weights are
+    copied across: identical logits and identical post-step tables."""
+    import jax.numpy as jnp
+    from recmodels_tpu.data import SyntheticSource
+    from recmodels_tpu.models import build_model
+    from recmodels_tpu.train.engine import Engine
+
+    sch = criteo_schema(vocab_size=300, embed_dim=8)
+    model = build_model("fm", sch)
+    e_f = Engine(model, emb_lr=5e-2, fuse_wide=True)
+    e_u = Engine(model, emb_lr=5e-2, fuse_wide=False)
+    assert e_f._fused_wide and not e_u._fused_wide
+    s_f = e_f.init(jax.random.key(0))
+    s_u = e_u.init(jax.random.key(1))
+    # copy unfused weights into the fused layout
+    emb_u = s_u.emb_params["emb"]["d8"]  # [R, 8]
+    wide_u = s_u.emb_params["wide"]["d1"]  # [R]
+    fused = jnp.concatenate([emb_u, wide_u[:, None]], axis=1)
+    s_f = s_f._replace(emb_params={"emb": {"d9": fused}})
+
+    rng = np.random.default_rng(0)
+    dense = jnp.asarray(rng.normal(size=(16, 13)).astype(np.float32))
+    ids = jnp.asarray(rng.integers(0, 300, size=(16, 26)).astype(np.int32))
+    labels = jnp.asarray((rng.random(16) < 0.5).astype(np.float32))
+
+    lg_f = e_f.logits(s_f, dense, ids)
+    lg_u = e_u.logits(s_u, dense, ids)
+    np.testing.assert_allclose(np.asarray(lg_f), np.asarray(lg_u), rtol=1e-5, atol=1e-6)
+
+    s_f2, mf = e_f.jit_train_step(donate=False)(s_f, dense, ids, labels)
+    s_u2, mu = e_u.jit_train_step(donate=False)(s_u, dense, ids, labels)
+    np.testing.assert_allclose(float(mf["loss"]), float(mu["loss"]), rtol=1e-6)
+    f2 = np.asarray(s_f2.emb_params["emb"]["d9"])
+    np.testing.assert_allclose(
+        f2[:, :8], np.asarray(s_u2.emb_params["emb"]["d8"]), rtol=1e-5, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        f2[:, 8], np.asarray(s_u2.emb_params["wide"]["d1"]), rtol=1e-5, atol=1e-6
+    )

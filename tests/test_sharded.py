@@ -179,3 +179,27 @@ def test_per_slot_dims_sharded():
     state_s, ms = train_s(state_s, *args)
     state_l, ml = train_l(state_l, *args)
     np.testing.assert_allclose(float(ms["loss"]), float(ml["loss"]), rtol=1e-5)
+
+
+def test_parallel_scan_matches_stepwise():
+    from recmodels_tpu.parallel import build_parallel_scan
+
+    mesh = make_mesh(8)
+    model = build_model("fm", SCH)
+    eng = build_parallel_engine(model, mesh, emb_lr=5e-2, capacity_factor=4.0)
+    s1 = shard_state(eng.init(jax.random.key(5)), mesh)
+    s2 = shard_state(eng.init(jax.random.key(5)), mesh)
+    step, _ = build_parallel_steps(eng, mesh, donate=False)
+    scan = build_parallel_scan(eng, mesh, donate=False)
+
+    batches = [_batch(b=64, seed=100 + i) for i in range(3)]
+    for d, i, l in batches:
+        s1, m1 = step(s1, d, i, l)
+    xs = tuple(jnp.stack([b[k] for b in batches]) for k in range(3))
+    s2, m2 = scan(s2, *xs)
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["losses"][-1]), rtol=1e-6)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6),
+        s1.emb_params,
+        s2.emb_params,
+    )
