@@ -36,8 +36,10 @@ def test_kernel_matches_sparse_adagrad():
 
     opt = sparse_adagrad(eps=eps)
     t_r, st = opt.apply(table, {"acc": acc}, uids, gsum, jnp.asarray(0), lr)
-    np.testing.assert_allclose(np.asarray(t_k), np.asarray(t_r), rtol=1e-5, atol=1e-6)
-    np.testing.assert_allclose(np.asarray(a_k), np.asarray(st["acc"]), rtol=1e-5, atol=1e-6)
+    # the kernel's bf16 hi/lo grad decomposition carries ~2^-17 relative
+    # error on g (and ~2^-16 on g^2 in the accumulator) — see pallas_update
+    np.testing.assert_allclose(np.asarray(t_k), np.asarray(t_r), rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(a_k), np.asarray(st["acc"]), rtol=3e-4, atol=1e-5)
 
 
 def test_kernel_untouched_rows_unchanged():
@@ -88,7 +90,8 @@ def test_engine_route_uses_kernel_and_matches_xla_route(monkeypatch):
     monkeypatch.setattr(pallas_update, "_INTERPRET", False)
     monkeypatch.setattr(pallas_update, "supported", lambda t: False)
     t_d, s_d = apply_updates(opt, table, {"acc": acc}, ids, grads, jnp.asarray(0), 0.02)
-    np.testing.assert_allclose(np.asarray(t_k), np.asarray(t_d), rtol=1e-5, atol=1e-6)
+    # tolerance: kernel grads ride a bf16 hi/lo decomposition (~2^-17 rel)
+    np.testing.assert_allclose(np.asarray(t_k), np.asarray(t_d), rtol=1e-4, atol=1e-6)
     np.testing.assert_allclose(
-        np.asarray(s_k["acc"]), np.asarray(s_d["acc"]), rtol=1e-5, atol=1e-6
+        np.asarray(s_k["acc"]), np.asarray(s_d["acc"]), rtol=3e-4, atol=1e-5
     )
