@@ -106,10 +106,15 @@ def apply_updates(opt: "SparseOptimizer", table, state, ids_flat, grads_flat, st
     from recmodels_tpu.embedding import pallas_update
 
     if opt.name == "adagrad" and pallas_update.supported(table):
-        uids, gsum, _ = dedup_segment_sum(ids_flat, grads_flat, table.shape[0])
+        # No dedup: the kernel's one-hot MXU contraction IS the segment-sum
+        # over duplicates, so sort + permute is all the XLA-side prep needed
+        # (the full dedup pipeline measured 8.3ms vs 0.5ms for this at 213k
+        # ids on v5e).
+        order = jnp.argsort(ids_flat)
         h = opt.hyper
         table, acc = pallas_update.sorted_adagrad_update(
-            table, state["acc"], uids, gsum, lr, h["eps"]
+            table, state["acc"], ids_flat[order],
+            jnp.take(grads_flat, order, axis=0), lr, h["eps"]
         )
         return table, {"acc": acc}
     num_rows = table.shape[0]

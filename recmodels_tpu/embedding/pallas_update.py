@@ -4,17 +4,36 @@ Why: XLA lowers scatter(-add) on TPU to a serialized dynamic-update-slice
 loop (~100ns per updated row — measured in bench/profile_scatter.py: 10.6ms
 for 106k row updates into a 2.6M x 16 table, identical for raw, hinted, and
 segment_sum formulations). That made the optimizer update the dominant cost
-of the whole train step.
+of the whole train step. The reference hits the same hot spot as BigDL's
+LookupTable.backward scatter-add (SURVEY.md §3.2); SparseCore is the
+hardware answer — this kernel is the TensorCore one.
 
-Design (the "CSR sweep" that SparseCore implements in hardware):
-  1. dedup_segment_sum gives SORTED unique row ids + summed grads;
-  2. ``searchsorted`` over tile boundaries gives each table tile its
-     contiguous slice of updates (scalar-prefetched);
-  3. the kernel sweeps the table in column tiles (auto-pipelined
-     BlockSpecs); each tile DMAs its update window (double-buffered across
-     grid steps), expands it with a [TR, W] one-hot from iota-compare, and
-     contracts on the MXU; then the Adagrad elementwise math — all in VMEM,
-     written back in place (input_output_aliases).
+Design (v2 — duplicate-tolerant "CSR sweep"):
+  1. ids are SORTED but need NOT be unique: the kernel's one-hot MXU
+     contraction sums duplicate rows natively (it IS a segment-sum), which
+     deletes the whole XLA dedup pipeline (segment_sum / cumsum / unique
+     machinery measured at 8.3ms per step at 213k ids — vs 0.5ms for the
+     argsort + grad permute that remain);
+  2. the sorted update stream is cut into STATIC position-chunks
+     ``[k*tr, (k+1)*tr)``. Chunks partition positions, so no entry can be
+     counted twice, and chunk DMA offsets are 128-aligned by construction —
+     no dynamic window alignment, no column-validity mask, no exact per-tile
+     start offsets;
+  3. which chunks a table tile must see is derived from a strided COARSE
+     subsample (``sg[::tr]``, ~N/tr values): chunks strictly before the
+     first / after the last chunk that can contain the tile's rows are
+     skipped. Over-approximation is harmless — foreign entries never match
+     the tile's one-hot;
+  4. the kernel sweeps the table in column tiles (auto-pipelined BlockSpecs);
+     each tile DMAs its first chunk double-buffered across grid steps, any
+     extra chunks (only when > tr updates land in one tile) sequentially,
+     expands ids with a [tr, tr] one-hot from iota-compare, and contracts on
+     the MXU; then the Adagrad elementwise math — all in VMEM, written back
+     in place (input_output_aliases);
+  5. grads arrive as a bf16 hi/lo decomposition (hi + lo == f32 grad to
+     ~2^-17 rel): two single-pass bf16 MXU dots are 2.3x faster than one
+     Precision.HIGHEST f32 dot (6 passes), and DEFAULT f32 (1 truncated
+     pass) was 5e-4 off.
 
 Layout: the kernel operates on the TRANSPOSED view ``[D, R]``. XLA prefers
 column-major ``{0,1}`` for the ``[R, D]`` tables (the gather's choice), and
@@ -23,14 +42,10 @@ kernel in ``table.T`` / ``.T`` lets layout assignment cancel the transposes
 instead of materializing full-table relayout copies (which cost 8.8ms/step
 in the first, row-major version of this kernel).
 
-With TR tile rows == the update-window capacity, a tile can never receive
-more than TR unique updates (dedup guarantees uniqueness) — no dropped
-updates under any id distribution. Sentinel padding ids (>= num_rows) sort
-past the last real tile; any landing in allocation padding carry zero grads
-(dedup zero-fills invalid segments) and are no-ops.
-
-Requires table rows % TR == 0 — EmbeddingCollection pads allocations to
-ALLOC_MULTIPLE rows (logical vocab unchanged; pad rows are never gathered).
+Requires table rows % tr == 0 — EmbeddingCollection pads allocations to
+ALLOC_MULTIPLE rows (logical vocab unchanged; pad rows are never gathered;
+sorted sentinel ids (>= num_rows) at the tail match no tile row and their
+grads are zero).
 """
 
 from __future__ import annotations
@@ -42,7 +57,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-TR = 512  # table rows per tile == max updates per tile (exactness bound)
+TR = 512  # table rows per tile == update-chunk length (both 128-multiples)
 
 _INTERPRET = False
 
@@ -51,121 +66,139 @@ def _interpret() -> bool:
     return _INTERPRET or jax.default_backend() == "cpu"
 
 
-def _adagrad_kernel(start_ref, lr_ref, uids_ref, ghi_ref, glo_ref, table_ref,
+def _adagrad_kernel(pos_ref, lr_ref, uids_ref, ghi_ref, glo_ref, table_ref,
                     acc_ref, table_out, acc_out, ids_s, ghi_s, glo_s, sems, *,
-                    eps):
+                    eps, n_chunks):
     t = pl.program_id(0)
     n_t = pl.num_programs(0)
     lr = lr_ref[0, 0]
-    tr, w = ids_s.shape[2] - 128, ids_s.shape[2]
+    tr = ids_s.shape[2]
 
-    def window_dmas(tile, slot):
-        s0 = pl.multiple_of((start_ref[tile] // 128) * 128, 128)
+    def first_chunk(tile):
+        # pos_ref[tile] = searchsorted(coarse, tile*tr, 'left'); every chunk
+        # strictly before pos-1 ends below tile*tr, so pos-1 (clamped into
+        # range) is the first chunk that can hold this tile's rows.
+        p = pos_ref[tile]
+        return jnp.clip(p - 1, 0, n_chunks - 1)
+
+    def chunk_dmas(chunk, slot):
+        off = pl.multiple_of(chunk * tr, 128)
         return (
             pltpu.make_async_copy(
-                uids_ref.at[0, pl.ds(s0, w)], ids_s.at[slot, 0, :], sems.at[slot, 0]
+                uids_ref.at[0, pl.ds(off, tr)], ids_s.at[slot, 0, :], sems.at[slot, 0]
             ),
             pltpu.make_async_copy(
-                ghi_ref.at[:, pl.ds(s0, w)], ghi_s.at[slot], sems.at[slot, 1]
+                ghi_ref.at[:, pl.ds(off, tr)], ghi_s.at[slot], sems.at[slot, 1]
             ),
             pltpu.make_async_copy(
-                glo_ref.at[:, pl.ds(s0, w)], glo_s.at[slot], sems.at[slot, 2]
+                glo_ref.at[:, pl.ds(off, tr)], glo_s.at[slot], sems.at[slot, 2]
             ),
         )
 
+    lo_t = first_chunk(t)
+
     @pl.when(t == 0)
     def _():
-        for dma in window_dmas(0, 0):
+        for dma in chunk_dmas(lo_t, 0):
             dma.start()
 
-    # prefetch next tile's window while this tile computes
+    # prefetch next tile's first chunk while this tile computes
     @pl.when(t + 1 < n_t)
     def _():
-        for dma in window_dmas(t + 1, (t + 1) % 2):
+        for dma in chunk_dmas(first_chunk(t + 1), (t + 1) % 2):
             dma.start()
 
     slot = t % 2
-    for dma in window_dmas(t, slot):
+    for dma in chunk_dmas(lo_t, slot):
         dma.wait()
 
-    row = jax.lax.broadcasted_iota(jnp.int32, (tr, w), 0)  # local table row
-    ids_b = jnp.broadcast_to(ids_s[slot, 0:1, :], (tr, w))
-    # No column-validity mask needed: ids are globally sorted and unique, so
-    # window entries before this tile's range are < t*tr and entries after
-    # it are >= (t+1)*tr — the equality below can only fire for this tile's
-    # own updates (sentinel ids are INT32_MAX >> any row). Select in f32
-    # layout (the i1 mask lives in 32-bit (8,128) tiling; Mosaic can't
-    # relayout i1 straight to bf16 (16,128)), then cast for the MXU.
-    onehot = jnp.where(ids_b == row + t * tr, 1.0, 0.0).astype(jnp.bfloat16)
-    # g_t[d, r] = sum_w gsum_t[d, w] * onehot[r, w]. The grads arrive as a
-    # bf16 hi/lo decomposition (hi + lo == f32 grad to ~2^-18 rel), so two
-    # single-pass bf16 MXU dots recover near-f32 exactness — measured 2.3x
-    # faster than one Precision.HIGHEST f32 dot (6 passes), and DEFAULT
-    # f32 (1 truncated pass) was 5e-4 off.
+    row = jax.lax.broadcasted_iota(jnp.int32, (tr, tr), 0) + t * tr
+    # Select in f32 layout (the i1 mask lives in 32-bit (8,128) tiling;
+    # Mosaic can't relayout i1 straight to bf16 (16,128)), cast for the MXU.
     dims = (((1,), (1,)), ((), ()))
-    g = jax.lax.dot_general(
-        ghi_s[slot], onehot, dims, preferred_element_type=jnp.float32
-    ) + jax.lax.dot_general(
-        glo_s[slot], onehot, dims, preferred_element_type=jnp.float32
-    )  # [D16, TR]
 
-    g = g[: acc_ref.shape[0], :]  # drop sublane alignment padding (d16 -> d)
+    def chunk_g(s):
+        onehot = jnp.where(
+            jnp.broadcast_to(ids_s[s, 0:1, :], (tr, tr)) == row, 1.0, 0.0
+        ).astype(jnp.bfloat16)
+        return jax.lax.dot_general(
+            ghi_s[s], onehot, dims, preferred_element_type=jnp.float32
+        ) + jax.lax.dot_general(
+            glo_s[s], onehot, dims, preferred_element_type=jnp.float32
+        )  # [D16, tr]
+
+    g = chunk_g(slot)
+
+    # Rare path: more than tr updates landed in this tile (heavy duplicate
+    # skew) — sweep its remaining chunks sequentially through this tile's
+    # own slot (the cross-tile prefetch lives in the other slot). The
+    # exclusive end is pos_ref[t+1]: chunks at or past it start at ids
+    # >= (t+1)*tr. The loop runs ZERO iterations in the common case.
+    nc = pos_ref[t + 1] - lo_t
+
+    def body(i, g_acc):
+        dmas = chunk_dmas(lo_t + i, slot)
+        for dma in dmas:
+            dma.start()
+        for dma in dmas:
+            dma.wait()
+        return g_acc + chunk_g(slot)
+
+    g = jax.lax.fori_loop(1, nc, body, g)
+
+    g = g[: acc_ref.shape[0], :]  # drop sublane padding (d16 -> d)
     acc_new = acc_ref[:] + g * g
     table_out[:] = table_ref[:] - lr * g / (jnp.sqrt(acc_new) + eps)
     acc_out[:] = acc_new
 
 
 def sorted_adagrad_update(table, acc, uids, gsum, lr, eps, tr: int = TR):
-    """Fused Adagrad over sorted unique updates, in place.
+    """Fused Adagrad over a SORTED (duplicates allowed) update stream.
 
-    table, acc: [R, D] with R % tr == 0. uids: [N] sorted int32 (sentinels
-    >= R at the tail, zero gsum rows). gsum: [N, D]. Returns (table', acc').
-
-    ``tr`` (table rows per tile) trades per-tile exactness capacity
-    (dedup'd updates per tile can never exceed tr) against total work: the
-    one-hot expansion costs O(R * (tr+128)) VPU compares and MXU FLOPs, so
-    smaller tiles are cheaper — tr=256 measured 1.5x faster than tr=512 at
-    the 2.6M-row bench table.
+    table, acc: [R, D] with R % tr == 0. uids: [N] sorted int32 — raw sorted
+    batch ids; duplicates are summed exactly by the one-hot contraction.
+    Sentinels (>= R) may pad the tail. gsum: [N, D] grads in the same order.
+    Returns (table', acc') updated in place (donated via aliasing).
     """
     r, d = table.shape
     assert r % tr == 0, (r, tr)
-    # DMA window: dynamic slice starts must be lane-aligned, so starts round
-    # down to a 128 boundary; +128 margin keeps every window covering its
-    # tile's full update slice.
-    w = tr + 128
+    assert tr % 128 == 0, tr
     n = uids.shape[0]
     n_tiles = r // tr
-    # pad updates so every DMA window [s0, s0+w) is in bounds; pad the
-    # transposed grad buffer's sublane dim to a multiple of 16 (Mosaic DMA
-    # slices require tiling-aligned sublane shapes; bf16 tiles are (16,128)
-    # — cheap here, O(batch) only). Then split f32 grads into a bf16 hi/lo
-    # pair for the kernel's two single-pass MXU dots (see _adagrad_kernel).
+    n_chunks = -(-n // tr)
+    npad = n_chunks * tr
+    # pad the stream to whole chunks; pad the transposed grad buffer's
+    # sublane dim to a multiple of 16 (bf16 DMA slices need tiling-aligned
+    # sublane shapes — O(batch) cost only), then split f32 grads into the
+    # bf16 hi/lo pair (see module docstring).
     d16 = -(-d // 16) * 16
-    uids_p = jnp.concatenate([uids, jnp.full((w,), jnp.iinfo(jnp.int32).max, jnp.int32)])
-    gsum_t = jnp.concatenate([gsum, jnp.zeros((w, d), gsum.dtype)]).T  # [D, N+w]
+    uids_p = jnp.concatenate(
+        [uids, jnp.full((npad - n,), jnp.iinfo(jnp.int32).max, jnp.int32)]
+    )
+    gsum_t = jnp.concatenate([gsum, jnp.zeros((npad - n, d), gsum.dtype)]).T
     if d16 != d:
         gsum_t = jnp.pad(gsum_t, ((0, d16 - d), (0, 0)))
     ghi = gsum_t.astype(jnp.bfloat16)
     glo = (gsum_t - ghi.astype(jnp.float32)).astype(jnp.bfloat16)
-    # per-tile window starts: start[t] = #ids < t*tr. A histogram+cumsum
-    # (vectorized segment_sum) — jnp.searchsorted lowers to a serialized
-    # while-loop that cost 1.2ms/step at 5k tiles.
-    tile_of = jnp.clip(uids // tr, 0, n_tiles).astype(jnp.int32)
-    hist = jax.ops.segment_sum(
-        jnp.ones((n,), jnp.int32), tile_of, num_segments=n_tiles + 1
-    )
-    start = jnp.concatenate(
-        [jnp.zeros((1,), jnp.int32), jnp.cumsum(hist[:n_tiles], dtype=jnp.int32)]
-    )
+    # Coarse chunk index: coarse[k] = first id of chunk k. With
+    # P[t] = searchsorted(coarse, t*tr, 'left'), tile t's rows can only
+    # live in chunks [max(P[t]-1, 0), P[t+1]): every chunk k <= P[t]-2 ends
+    # at coarse[k+1] < t*tr (sorted), every chunk k >= P[t+1] starts at
+    # coarse[k] >= (t+1)*tr. Over-coverage is exact — foreign ids never
+    # match the tile's one-hot. method='sort' keeps this off the serialized
+    # while-loop searchsorted lowering.
+    coarse = uids_p[::tr]
+    bounds = (jnp.arange(n_tiles + 1, dtype=jnp.int32) * tr).astype(jnp.int32)
+    pos = jnp.searchsorted(coarse, bounds, side="left", method="sort").astype(jnp.int32)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_tiles,),
         in_specs=[
             pl.BlockSpec((1, 1), lambda t, *_: (0, 0), memory_space=pltpu.SMEM),  # lr
-            pl.BlockSpec(memory_space=pl.ANY),  # uids (windows DMA'd manually)
-            pl.BlockSpec(memory_space=pl.ANY),  # grad hi bf16 (windows DMA'd)
-            pl.BlockSpec(memory_space=pl.ANY),  # grad lo bf16 (windows DMA'd)
+            pl.BlockSpec(memory_space=pl.ANY),  # uids (chunks DMA'd manually)
+            pl.BlockSpec(memory_space=pl.ANY),  # grad hi bf16 (chunks DMA'd)
+            pl.BlockSpec(memory_space=pl.ANY),  # grad lo bf16 (chunks DMA'd)
             pl.BlockSpec((d, tr), lambda t, *_: (0, t)),  # table^T tile
             pl.BlockSpec((d, tr), lambda t, *_: (0, t)),  # acc^T tile
         ],
@@ -174,15 +207,15 @@ def sorted_adagrad_update(table, acc, uids, gsum, lr, eps, tr: int = TR):
             pl.BlockSpec((d, tr), lambda t, *_: (0, t)),
         ],
         scratch_shapes=[
-            pltpu.VMEM((2, 1, w), jnp.int32),  # double-buffered id windows
-            pltpu.VMEM((2, d16, w), jnp.bfloat16),  # grad hi windows
-            pltpu.VMEM((2, d16, w), jnp.bfloat16),  # grad lo windows
+            pltpu.VMEM((2, 1, tr), jnp.int32),  # double-buffered id chunks
+            pltpu.VMEM((2, d16, tr), jnp.bfloat16),  # grad hi chunks
+            pltpu.VMEM((2, d16, tr), jnp.bfloat16),  # grad lo chunks
             pltpu.SemaphoreType.DMA((2, 3)),
         ],
     )
     lr_arr = jnp.asarray(lr, jnp.float32).reshape(1, 1)
     table2_t, acc2_t = pl.pallas_call(
-        functools.partial(_adagrad_kernel, eps=eps),
+        functools.partial(_adagrad_kernel, eps=eps, n_chunks=n_chunks),
         grid_spec=grid_spec,
         out_shape=(
             jax.ShapeDtypeStruct((d, r), table.dtype),
@@ -190,7 +223,7 @@ def sorted_adagrad_update(table, acc, uids, gsum, lr, eps, tr: int = TR):
         ),
         input_output_aliases={5: 0, 6: 1},  # table/acc update in place
         interpret=_interpret(),
-    )(start, lr_arr, uids_p.reshape(1, -1), ghi, glo, table.T, acc.T)
+    )(pos, lr_arr, uids_p.reshape(1, -1), ghi, glo, table.T, acc.T)
     return table2_t.T, acc2_t.T
 
 

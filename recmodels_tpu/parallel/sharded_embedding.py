@@ -38,7 +38,7 @@ import jax
 import jax.numpy as jnp
 
 from recmodels_tpu.embedding.collection import EmbeddingCollection
-from recmodels_tpu.embedding.optim import SparseOptimizer, dedup_segment_sum
+from recmodels_tpu.embedding.optim import SparseOptimizer
 
 
 def _cdiv(a: int, b: int) -> int:
