@@ -105,17 +105,29 @@ def main():
                 name = plane.event_metadata[ev.metadata_id].name
                 per_op[name] += ev.duration_ps / 1e9  # -> ms
 
-    total = sum(per_op.values())
+    # async DMA ops (copy-start / slice-start / *-done) run on the DMA
+    # engines and overlap compute — their spans don't add to the critical
+    # path; report them separately from the serialized compute stream.
+    def is_async(name: str) -> bool:
+        return ("copy-start" in name or "slice-start" in name
+                or "-done" in name or "copy-done" in name)
+
+    sync_total = sum(ms for n, ms in per_op.items()
+                     if not is_async(n) and "while" not in n)
+    async_total = sum(ms for n, ms in per_op.items() if is_async(n))
     cats = collections.Counter()
     for name, ms in per_op.items():
-        cats[categorize(name)] += ms
+        if not is_async(name) and "while" not in name:
+            cats[categorize(name)] += ms
     print(json.dumps({
-        "total_ms_per_step": round(total / args.k, 3),
-        "categories_ms_per_step": {c: round(v / args.k, 3) for c, v in cats.most_common()},
+        "sync_ms_per_step": round(sync_total / args.k, 3),
+        "async_dma_ms_per_step": round(async_total / args.k, 3),
+        "sync_categories_ms_per_step": {c: round(v / args.k, 3) for c, v in cats.most_common()},
         "batch": args.batch, "k": args.k,
     }))
     for name, ms in per_op.most_common(args.top):
-        print(f"{ms / args.k:8.3f} ms/step  [{categorize(name):14s}] {name[:110]}")
+        tag = "ASYNC" if is_async(name) else "sync "
+        print(f"{ms / args.k:8.3f} ms/step {tag} [{categorize(name):14s}] {name[:105]}")
 
 
 if __name__ == "__main__":

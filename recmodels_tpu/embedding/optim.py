@@ -117,6 +117,8 @@ def apply_updates(opt: "SparseOptimizer", table, state, ids_flat, grads_flat, st
             jnp.take(grads_flat, order, axis=0), lr, h["eps"]
         )
         return table, {"acc": acc}
+    # XLA fallback routes assume f32 grad math (segment sums, scatter-adds)
+    grads_flat = grads_flat.astype(jnp.float32)
     num_rows = table.shape[0]
     dim = 1 if table.ndim == 1 else table.shape[1]
     if choose_dense_update(num_rows, dim, ids_flat.shape[0], opt.apply_dense is not None):

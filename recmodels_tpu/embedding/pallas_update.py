@@ -66,9 +66,16 @@ def _interpret() -> bool:
     return _INTERPRET or jax.default_backend() == "cpu"
 
 
-def _adagrad_kernel(pos_ref, lr_ref, uids_ref, ghi_ref, glo_ref, table_ref,
-                    acc_ref, table_out, acc_out, ids_s, ghi_s, glo_s, sems, *,
-                    eps, n_chunks):
+def _adagrad_kernel(pos_ref, lr_ref, uids_ref, *rest, eps, n_chunks,
+                    two_part):
+    if two_part:  # f32 grads decomposed into bf16 hi + lo halves
+        (ghi_ref, glo_ref, table_ref, acc_ref, table_out, acc_out,
+         ids_s, ghi_s, glo_s, sems) = rest
+        g_refs, g_scratch = (ghi_ref, glo_ref), (ghi_s, glo_s)
+    else:  # grads arrived bf16 — a single exact dot suffices
+        (ghi_ref, table_ref, acc_ref, table_out, acc_out,
+         ids_s, ghi_s, sems) = rest
+        g_refs, g_scratch = (ghi_ref,), (ghi_s,)
     t = pl.program_id(0)
     n_t = pl.num_programs(0)
     lr = lr_ref[0, 0]
@@ -83,17 +90,18 @@ def _adagrad_kernel(pos_ref, lr_ref, uids_ref, ghi_ref, glo_ref, table_ref,
 
     def chunk_dmas(chunk, slot):
         off = pl.multiple_of(chunk * tr, 128)
-        return (
+        dmas = [
             pltpu.make_async_copy(
                 uids_ref.at[0, pl.ds(off, tr)], ids_s.at[slot, 0, :], sems.at[slot, 0]
-            ),
-            pltpu.make_async_copy(
-                ghi_ref.at[:, pl.ds(off, tr)], ghi_s.at[slot], sems.at[slot, 1]
-            ),
-            pltpu.make_async_copy(
-                glo_ref.at[:, pl.ds(off, tr)], glo_s.at[slot], sems.at[slot, 2]
-            ),
-        )
+            )
+        ]
+        for j, (ref, scr) in enumerate(zip(g_refs, g_scratch)):
+            dmas.append(
+                pltpu.make_async_copy(
+                    ref.at[:, pl.ds(off, tr)], scr.at[slot], sems.at[slot, 1 + j]
+                )
+            )
+        return dmas
 
     lo_t = first_chunk(t)
 
@@ -121,11 +129,13 @@ def _adagrad_kernel(pos_ref, lr_ref, uids_ref, ghi_ref, glo_ref, table_ref,
         onehot = jnp.where(
             jnp.broadcast_to(ids_s[s, 0:1, :], (tr, tr)) == row, 1.0, 0.0
         ).astype(jnp.bfloat16)
-        return jax.lax.dot_general(
-            ghi_s[s], onehot, dims, preferred_element_type=jnp.float32
-        ) + jax.lax.dot_general(
-            glo_s[s], onehot, dims, preferred_element_type=jnp.float32
-        )  # [D16, tr]
+        parts = [
+            jax.lax.dot_general(
+                scr[s], onehot, dims, preferred_element_type=jnp.float32
+            )
+            for scr in g_scratch
+        ]
+        return sum(parts[1:], parts[0])  # [D16, tr]
 
     g = chunk_g(slot)
 
@@ -157,8 +167,9 @@ def sorted_adagrad_update(table, acc, uids, gsum, lr, eps, tr: int = TR):
 
     table, acc: [R, D] with R % tr == 0. uids: [N] sorted int32 — raw sorted
     batch ids; duplicates are summed exactly by the one-hot contraction.
-    Sentinels (>= R) may pad the tail. gsum: [N, D] grads in the same order.
-    Returns (table', acc') updated in place (donated via aliasing).
+    Sentinels (>= R) may pad the tail. gsum: [N, D] grads in the same order;
+    f32 grads ride a bf16 hi/lo pair (two MXU dots), bf16 grads a single
+    dot. Returns (table', acc') updated in place (donated via aliasing).
     """
     r, d = table.shape
     assert r % tr == 0, (r, tr)
@@ -171,6 +182,7 @@ def sorted_adagrad_update(table, acc, uids, gsum, lr, eps, tr: int = TR):
     # sublane dim to a multiple of 16 (bf16 DMA slices need tiling-aligned
     # sublane shapes — O(batch) cost only), then split f32 grads into the
     # bf16 hi/lo pair (see module docstring).
+    two_part = gsum.dtype != jnp.bfloat16
     d16 = -(-d // 16) * 16
     uids_p = jnp.concatenate(
         [uids, jnp.full((npad - n,), jnp.iinfo(jnp.int32).max, jnp.int32)]
@@ -179,26 +191,38 @@ def sorted_adagrad_update(table, acc, uids, gsum, lr, eps, tr: int = TR):
     if d16 != d:
         gsum_t = jnp.pad(gsum_t, ((0, d16 - d), (0, 0)))
     ghi = gsum_t.astype(jnp.bfloat16)
-    glo = (gsum_t - ghi.astype(jnp.float32)).astype(jnp.bfloat16)
+    g_ops = [ghi]
+    if two_part:
+        g_ops.append((gsum_t.astype(jnp.float32) - ghi.astype(jnp.float32))
+                     .astype(jnp.bfloat16))
     # Coarse chunk index: coarse[k] = first id of chunk k. With
     # P[t] = searchsorted(coarse, t*tr, 'left'), tile t's rows can only
     # live in chunks [max(P[t]-1, 0), P[t+1]): every chunk k <= P[t]-2 ends
     # at coarse[k+1] < t*tr (sorted), every chunk k >= P[t+1] starts at
     # coarse[k] >= (t+1)*tr. Over-coverage is exact — foreign ids never
-    # match the tile's one-hot. method='sort' keeps this off the serialized
-    # while-loop searchsorted lowering.
+    # match the tile's one-hot.
     coarse = uids_p[::tr]
     bounds = (jnp.arange(n_tiles + 1, dtype=jnp.int32) * tr).astype(jnp.int32)
-    pos = jnp.searchsorted(coarse, bounds, side="left", method="sort").astype(jnp.int32)
+    if (n_tiles + 1) * n_chunks <= 16 * 2**20:
+        # fully vectorized count-less-than beats both searchsorted lowerings
+        # (scan serializes; method='sort' drags 4 small sort/copy ops):
+        # 0.11ms vs 0.34ms at 5081 tiles x 416 chunks on v5e.
+        pos = jnp.sum(coarse[None, :] < bounds[:, None], axis=1, dtype=jnp.int32)
+    else:
+        pos = jnp.searchsorted(
+            coarse, bounds, side="left", method="sort"
+        ).astype(jnp.int32)
 
+    n_parts = len(g_ops)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_tiles,),
         in_specs=[
             pl.BlockSpec((1, 1), lambda t, *_: (0, 0), memory_space=pltpu.SMEM),  # lr
             pl.BlockSpec(memory_space=pl.ANY),  # uids (chunks DMA'd manually)
-            pl.BlockSpec(memory_space=pl.ANY),  # grad hi bf16 (chunks DMA'd)
-            pl.BlockSpec(memory_space=pl.ANY),  # grad lo bf16 (chunks DMA'd)
+        ]
+        + [pl.BlockSpec(memory_space=pl.ANY)] * n_parts  # grad bf16 part(s)
+        + [
             pl.BlockSpec((d, tr), lambda t, *_: (0, t)),  # table^T tile
             pl.BlockSpec((d, tr), lambda t, *_: (0, t)),  # acc^T tile
         ],
@@ -206,24 +230,23 @@ def sorted_adagrad_update(table, acc, uids, gsum, lr, eps, tr: int = TR):
             pl.BlockSpec((d, tr), lambda t, *_: (0, t)),
             pl.BlockSpec((d, tr), lambda t, *_: (0, t)),
         ],
-        scratch_shapes=[
-            pltpu.VMEM((2, 1, tr), jnp.int32),  # double-buffered id chunks
-            pltpu.VMEM((2, d16, tr), jnp.bfloat16),  # grad hi chunks
-            pltpu.VMEM((2, d16, tr), jnp.bfloat16),  # grad lo chunks
-            pltpu.SemaphoreType.DMA((2, 3)),
-        ],
+        scratch_shapes=[pltpu.VMEM((2, 1, tr), jnp.int32)]  # id chunks
+        + [pltpu.VMEM((2, d16, tr), jnp.bfloat16)] * n_parts  # grad chunks
+        + [pltpu.SemaphoreType.DMA((2, 1 + n_parts))],
     )
     lr_arr = jnp.asarray(lr, jnp.float32).reshape(1, 1)
+    alias_base = 3 + n_parts  # pos, lr, uids operands precede the grad parts
     table2_t, acc2_t = pl.pallas_call(
-        functools.partial(_adagrad_kernel, eps=eps, n_chunks=n_chunks),
+        functools.partial(_adagrad_kernel, eps=eps, n_chunks=n_chunks,
+                          two_part=two_part),
         grid_spec=grid_spec,
         out_shape=(
             jax.ShapeDtypeStruct((d, r), table.dtype),
             jax.ShapeDtypeStruct((d, r), acc.dtype),
         ),
-        input_output_aliases={5: 0, 6: 1},  # table/acc update in place
+        input_output_aliases={alias_base: 0, alias_base + 1: 1},  # in place
         interpret=_interpret(),
-    )(pos, lr_arr, uids_p.reshape(1, -1), ghi, glo, table.T, acc.T)
+    )(pos, lr_arr, uids_p.reshape(1, -1), *g_ops, table.T, acc.T)
     return table2_t.T, acc2_t.T
 
 

@@ -55,8 +55,13 @@ class DCNModel(CTRModel):
 
     def apply(self, params, dense: jnp.ndarray, emb: EmbActivations) -> jnp.ndarray:
         cross_stack = get_op("dcn_cross_stack")
-        x0 = jnp.concatenate([flatten_slots(emb["emb"]), dense], axis=1)
-        xl = cross_stack(x0, params["cross"]["w"], params["cross"]["b"])
+        e = emb["emb"]
+        x0 = jnp.concatenate([flatten_slots(e), dense.astype(e.dtype)], axis=1)
+        xl = cross_stack(
+            x0,
+            params["cross"]["w"].astype(x0.dtype),
+            params["cross"]["b"].astype(x0.dtype),
+        )
         parts = [xl]
         if self.hidden:
             parts.append(

@@ -48,6 +48,6 @@ class DeepFMModel(CTRModel):
         fm_pairwise = get_op("fm_pairwise")
         e = emb["emb"]
         y_fm = jnp.sum(emb["wide"][..., 0], axis=1) + fm_pairwise(e)
-        h = jnp.concatenate([flatten_slots(e), dense], axis=1)
+        h = jnp.concatenate([flatten_slots(e), dense.astype(e.dtype)], axis=1)
         y_dnn = mlp_apply(params["mlp"], h, final_linear=True, compute_dtype=self.compute_dtype)[:, 0]
         return params["bias"] + dense @ params["w_dense"] + y_fm + y_dnn

@@ -66,7 +66,7 @@ class PNNModel(CTRModel):
 
     def apply(self, params, dense: jnp.ndarray, emb: EmbActivations) -> jnp.ndarray:
         e = emb["emb"]
-        feats = [flatten_slots(e), dense]
+        feats = [flatten_slots(e), dense.astype(e.dtype)]
         if self.mode in ("inner", "both"):
             feats.append(get_op("pnn_inner_products")(e))
         if self.mode in ("outer", "both"):

@@ -36,6 +36,7 @@ class WideDeepModel(CTRModel):
 
     def apply(self, params, dense: jnp.ndarray, emb: EmbActivations) -> jnp.ndarray:
         y_wide = jnp.sum(emb["wide"][..., 0], axis=1) + dense @ params["w_dense"]
-        h = jnp.concatenate([flatten_slots(emb["emb"]), dense], axis=1)
+        e = emb["emb"]
+        h = jnp.concatenate([flatten_slots(e), dense.astype(e.dtype)], axis=1)
         y_deep = mlp_apply(params["mlp"], h, final_linear=True, compute_dtype=self.compute_dtype)[:, 0]
         return params["bias"] + y_wide + y_deep

@@ -74,6 +74,8 @@ class XDeepFMModel(CTRModel):
         else:
             p = cin_stack(x0, params["cin_w"])  # [B, sum(H_k)]
         y_lin = jnp.sum(emb["wide"][..., 0], axis=1) + dense @ params["w_dense"]
-        h = jnp.concatenate([flatten_slots(x0), dense], axis=1)
+        # concat in the embedding activations' dtype — mixing bf16 rows with
+        # f32 dense would promote (and materialize) the whole MLP input f32
+        h = jnp.concatenate([flatten_slots(x0), dense.astype(x0.dtype)], axis=1)
         y_dnn = mlp_apply(params["mlp"], h, final_linear=True, compute_dtype=self.compute_dtype)[:, 0]
         return params["bias"] + y_lin + p @ params["w_cin"] + y_dnn

@@ -133,7 +133,8 @@ class ShardedTables:
         overflow = jnp.sum(~valid)
         return slots, send_ids, order, inv_order, overflow
 
-    def _gather_group(self, table_local, ids_flat, rows_per_shard, with_stats=False):
+    def _gather_group(self, table_local, ids_flat, rows_per_shard,
+                      with_stats=False, dtype=None):
         d = self.n_shards
         n = ids_flat.shape[0]
         one_d = table_local.ndim == 1  # dim-1 tables are stored 1-D
@@ -146,6 +147,8 @@ class ShardedTables:
         my_index = jax.lax.axis_index(self.axis_name)
         local_idx = recv_ids - my_index * rows_per_shard  # sentinel stays OOB
         rows = table_local.at[local_idx.reshape(-1)].get(mode="fill", fill_value=0.0)
+        if dtype is not None and rows.dtype != dtype:
+            rows = rows.astype(dtype)  # before hop 2: halves return-trip bytes
         # hop 2: owner -> requester (rows)
         shape = (d, cap) if one_d else (d, cap, rows.shape[-1])
         back = jax.lax.all_to_all(
@@ -192,7 +195,7 @@ class ShardedTables:
         )
 
     # ----------------------------------------------------- engine strategy
-    def gather(self, emb_params, gids):
+    def gather(self, emb_params, gids, dtype=None):
         out = {}
         for name, coll in self.collections.items():
             out[name] = {}
@@ -200,7 +203,8 @@ class ShardedTables:
                 ids = gids[name][g.name]
                 b, ns = ids.shape
                 rows = self._gather_group(
-                    emb_params[name][g.name], ids.reshape(-1), self.rows_per_shard(name, g)
+                    emb_params[name][g.name], ids.reshape(-1),
+                    self.rows_per_shard(name, g), dtype=dtype,
                 )
                 out[name][g.name] = rows.reshape(b, ns, g.dim)  # 1-D groups expand here
         return out

@@ -60,10 +60,10 @@ class LocalTables:
             }
         return out
 
-    def gather(self, emb_params, gids):
+    def gather(self, emb_params, gids, dtype=None):
         """{coll: {group: [B, n_g]}} -> {coll: {group: [B, n_g, dim]}}"""
         return {
-            name: coll.gather_rows(emb_params[name], gids[name])
+            name: coll.gather_rows(emb_params[name], gids[name], dtype)
             for name, coll in self.collections.items()
         }
 
@@ -153,6 +153,13 @@ class Engine:
         elif callable(self.table_strategy) and not hasattr(self.table_strategy, "gather"):
             # factory: (collections, sparse_opt) -> strategy (parallel/)
             self.table_strategy = self.table_strategy(self.collections, self.sparse_opt)
+        # bf16-compute models get their rows gathered directly in bf16 (the
+        # cast fuses into the gather and halves its output bytes); the wide
+        # activation is upcast to f32 at the split (_forward_from_rows) so
+        # first-order sums keep f32 precision. Grads then reach the sparse
+        # optimizer in bf16 — the Pallas kernel takes them as a single exact
+        # MXU operand; XLA fallback routes upcast (optim.apply_updates).
+        self._gather_dtype = getattr(self.model, "compute_dtype", jnp.float32)
         if self.dense_optimizer == "adam":
             self.dense_tx = optax.adam(self.dense_lr)
         elif self.dense_optimizer == "adagrad":
@@ -205,19 +212,22 @@ class Engine:
             full = emb.pop("emb")  # [B, slots, D+1]
             emb["emb"] = full[..., : self._emb_dim]
             emb["wide"] = full[..., self._emb_dim :]
+        if "wide" in emb:
+            # first-order sums stay f32 even when rows are gathered bf16
+            emb["wide"] = emb["wide"].astype(jnp.float32)
         return self.model.apply(dense_params, dense, emb)
 
     def logits(self, state: TrainState, dense: jnp.ndarray, ids: jnp.ndarray) -> jnp.ndarray:
         """Inference forward pass."""
         gids = self._group_ids(ids)
-        rows = self.table_strategy.gather(state.emb_params, gids)
+        rows = self.table_strategy.gather(state.emb_params, gids, self._gather_dtype)
         return self._forward_from_rows(state.dense_params, rows, dense)
 
     # --------------------------------------------------------------- train
     def train_step(self, state: TrainState, dense, ids, labels):
         """One optimizer step. Returns (new_state, {'loss': mean_bce})."""
         gids = self._group_ids(ids)
-        rows = self.table_strategy.gather(state.emb_params, gids)
+        rows = self.table_strategy.gather(state.emb_params, gids, self._gather_dtype)
 
         def loss_fn(dense_params, rows):
             logits = self._forward_from_rows(dense_params, rows, dense)
