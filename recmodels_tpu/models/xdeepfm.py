@@ -43,6 +43,10 @@ class XDeepFMModel(CTRModel):
     def init_dense(self, rng: jax.Array):
         m = self.schema.n_slots
         keys = jax.random.split(rng, len(self.cin_sizes) + 3)
+        # NOTE: tried storing these flat [H_next, H_prev*m] to speed the
+        # dense Adam update's awkward {1,0,2} layout — the reshape at use
+        # poisoned the backward einsum layouts instead (543k -> 422k ex/s).
+        # 3-D storage stays.
         cin_w = []
         h_prev = m
         for i, h_next in enumerate(self.cin_sizes):
@@ -61,6 +65,31 @@ class XDeepFMModel(CTRModel):
             "bias": jnp.zeros((), jnp.float32),
         }
 
+    def _cin_ws(self, params, dtype):
+        return [w.astype(dtype) for w in params["cin_w"]]
+
+    def apply_fused_rows(self, params, dense: jnp.ndarray, full: jnp.ndarray) -> jnp.ndarray:
+        """Forward from wide-fused rows [B, m, D+1] (engine fast path).
+
+        One Pallas fanout (``split_fused_rows``) yields the D-major field
+        matrix for CIN plus the summed first-order column; the MLP consumes
+        the D-major view flattened — a fixed feature permutation relative
+        to ``apply``, which is distribution-identical under the iid MLP
+        init (weights just learn the permuted pairing)."""
+        b, m, _ = full.shape
+        x_dm, wide_sum = get_op("split_fused_rows")(
+            full.astype(self.compute_dtype), self.schema.max_dim
+        )
+        p = get_op("cin_stack_dm")(
+            x_dm, self._cin_ws(params, self.compute_dtype)
+        ).astype(jnp.float32)
+        y_lin = wide_sum + dense @ params["w_dense"]
+        h = jnp.concatenate(
+            [x_dm.reshape(b, -1), dense.astype(x_dm.dtype)], axis=1
+        )
+        y_dnn = mlp_apply(params["mlp"], h, final_linear=True, compute_dtype=self.compute_dtype)[:, 0]
+        return params["bias"] + y_lin + p @ params["w_cin"] + y_dnn
+
     def apply(self, params, dense: jnp.ndarray, emb: EmbActivations) -> jnp.ndarray:
         cin_stack = get_op("cin_stack")
         x0 = emb["emb"]  # [B, m, D]
@@ -69,10 +98,10 @@ class XDeepFMModel(CTRModel):
             # preferred_element_type inside the kernel/einsum)
             p = cin_stack(
                 x0.astype(self.compute_dtype),
-                [w.astype(self.compute_dtype) for w in params["cin_w"]],
+                self._cin_ws(params, self.compute_dtype),
             ).astype(jnp.float32)
         else:
-            p = cin_stack(x0, params["cin_w"])  # [B, sum(H_k)]
+            p = cin_stack(x0, self._cin_ws(params, jnp.float32))  # [B, sum(H_k)]
         y_lin = jnp.sum(emb["wide"][..., 0], axis=1) + dense @ params["w_dense"]
         # concat in the embedding activations' dtype — mixing bf16 rows with
         # f32 dense would promote (and materialize) the whole MLP input f32

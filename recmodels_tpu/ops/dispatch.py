@@ -26,6 +26,8 @@ _REFERENCE: Dict[str, Callable] = {
     "pnn_outer_product": interactions.pnn_outer_product,
     "cin_layer": interactions.cin_layer,
     "cin_stack": interactions.cin_stack,
+    "cin_stack_dm": interactions.cin_stack_dm,
+    "split_fused_rows": interactions.split_fused_rows,
 }
 
 _PALLAS: Dict[str, Callable] = {}

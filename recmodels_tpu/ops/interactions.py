@@ -103,6 +103,21 @@ def cin_stack(x0: jnp.ndarray, ws) -> jnp.ndarray:
     return jnp.concatenate(pools, axis=1)
 
 
+def cin_stack_dm(x0_dm: jnp.ndarray, ws) -> jnp.ndarray:
+    """CIN from a D-major field matrix: x0_dm [B, D, m] -> pooled concat.
+    Same math as ``cin_stack`` (reference), different input orientation."""
+    return cin_stack(jnp.swapaxes(x0_dm, 1, 2), ws)
+
+
+def split_fused_rows(full: jnp.ndarray, emb_dim: int):
+    """Fanout for wide-fused rows [B, m, D+1] -> (x_dm [B, D, m],
+    wide_sum [B] f32): the embedding vectors transposed to D-major plus the
+    summed first-order column."""
+    x_dm = jnp.swapaxes(full[..., :emb_dim], 1, 2)
+    ws = jnp.sum(full[..., emb_dim].astype(jnp.float32), axis=1)
+    return x_dm, ws
+
+
 def fm_bi_interaction(emb: jnp.ndarray) -> jnp.ndarray:
     """NFM bi-interaction pooling (arXiv:1708.05027 eq. 4): the FM pairwise
     term BEFORE the final sum over dims — ``0.5[(Σ_f e)² − Σ_f e²]`` per dim.

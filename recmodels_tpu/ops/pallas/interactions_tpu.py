@@ -98,7 +98,7 @@ def _dcn_kernel(x0_ref, w_ref, b_ref, out_ref):
 def _dcn_forward(x0, w, b):
     bsz, d = x0.shape
     n_layers = w.shape[0]
-    tb = min(bsz, 1024)
+    tb = min(bsz, 256)
     if bsz % tb:
         return _dcn_ref_stack(x0, w, b)
     return pl.pallas_call(
@@ -177,7 +177,7 @@ def dcn_cross_layer(x0, xl, w, b):
 # fast row-major layout instead of the D-minor one the old 3-D form pinned.
 
 
-def _transpose_minor2(x, tb_target=1024):
+def _transpose_minor2(x, tb_target=256):
     """[B, a, b] -> [B, b, a] as a Pallas VMEM transpose (jnp fallback on
     CPU / ragged batch)."""
     bsz, a, b = x.shape
@@ -272,7 +272,10 @@ def _cin_2d_fwd(xk2, x02, w):
 def _cin_2d_bwd(res, g):
     # Flat-row einsums keep every operand {1,0} row-major — the earlier
     # batched (b, d, ...) forms made XLA materialize [Hn, m, B, D]
-    # transposes (~1.3ms each at b=8192).
+    # transposes (~1.3ms each at b=8192). NOTE: do not hoist the shared
+    # g @ W projection out of the einsums — at CIN(128,128) it is a
+    # [R, m*Hk] = 872MB intermediate, and letting XLA pick its own
+    # contraction order measured 4.5ms/step faster than materializing it.
     xk2, x02, w = res  # [R,Hk], [R,m], [Hn,Hk,m]; g [R,Hn]
     gxk = jnp.einsum("rn,nhi,ri->rh", g, w, x02)
     gx0 = jnp.einsum("rn,nhi,rh->ri", g, w, xk2)
@@ -293,18 +296,111 @@ def cin_layer(xk, x0, w):
     return transpose_minor2(out2.reshape(b, d, w.shape[0]))
 
 
-def cin_stack(x0, ws):
-    """Whole CIN on flat (b, d) rows: x0 [B, m, D], ws list of
-    [H_next, H_prev, m] -> pools concat [B, sum(H)]. One Pallas VMEM
-    transpose in, zero out (pools reduce over D)."""
-    b, m, d = x0.shape
-    x02 = transpose_minor2(x0).reshape(b * d, m)
+def cin_stack_dm(x0_dm, ws):
+    """CIN from an already-D-major field matrix: x0_dm [B, D, m], ws list
+    of [H_next, H_prev, m] -> pools concat [B, sum(H)]. Zero transposes."""
+    b, d, m = x0_dm.shape
+    x02 = x0_dm.reshape(b * d, m)
     xk2 = x02
     pools = []
     for w in ws:
         xk2 = _cin_layer_2d(xk2, x02, w)
         pools.append(jnp.sum(xk2.reshape(b, d, w.shape[0]), axis=1))
     return jnp.concatenate(pools, axis=1)
+
+
+def cin_stack(x0, ws):
+    """Whole CIN on flat (b, d) rows: x0 [B, m, D], ws list of
+    [H_next, H_prev, m] -> pools concat [B, sum(H)]. One Pallas VMEM
+    transpose in, zero out (pools reduce over D)."""
+    return cin_stack_dm(transpose_minor2(x0), ws)
+
+
+# ------------------------------------------------- fused-row fanout
+def _split_fused_fwd_impl(full, emb_dim: int):
+    if _interpret():
+        x_dm = jnp.swapaxes(full[..., :emb_dim], 1, 2)
+        ws = jnp.sum(full[..., emb_dim].astype(jnp.float32), axis=1)
+        return x_dm, ws
+    bsz, m, dp1 = full.shape
+    tb = min(bsz, 256)
+    if bsz % tb:
+        x_dm = jnp.swapaxes(full[..., :emb_dim], 1, 2)
+        ws = jnp.sum(full[..., emb_dim].astype(jnp.float32), axis=1)
+        return x_dm, ws
+
+    def kern(x_ref, xdm_ref, ws_ref):
+        x = x_ref[:]
+        xdm_ref[:] = jnp.swapaxes(x[:, :, :emb_dim], 1, 2)
+        ws_ref[:] = jnp.sum(x[:, :, emb_dim].astype(jnp.float32), axis=1,
+                            keepdims=True)
+
+    return pl.pallas_call(
+        kern,
+        grid=(bsz // tb,),
+        in_specs=[pl.BlockSpec((tb, m, dp1), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)],
+        out_specs=[
+            pl.BlockSpec((tb, emb_dim, m), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=(
+            jax.ShapeDtypeStruct((bsz, emb_dim, m), full.dtype),
+            jax.ShapeDtypeStruct((bsz, 1), jnp.float32),
+        ),
+        interpret=_interpret(),
+    )(full)
+
+
+def _split_fused_bwd_impl(g_dm, g_ws, dtype, emb_dim: int):
+    bsz, d, m = g_dm.shape
+    tb = min(bsz, 256)
+    if _interpret() or bsz % tb:
+        g_emb = jnp.swapaxes(g_dm, 1, 2).astype(dtype)
+        g_wide = jnp.broadcast_to(
+            g_ws.reshape(bsz, 1, 1), (bsz, m, 1)
+        ).astype(dtype)
+        return jnp.concatenate([g_emb, g_wide], axis=2)
+
+    def kern(gdm_ref, gws_ref, out_ref):
+        g_emb = jnp.swapaxes(gdm_ref[:], 1, 2).astype(out_ref.dtype)
+        g_w = jnp.broadcast_to(
+            gws_ref[:][:, :, None], (tb, m, 1)
+        ).astype(out_ref.dtype)
+        out_ref[:] = jnp.concatenate([g_emb, g_w], axis=2)
+
+    return pl.pallas_call(
+        kern,
+        grid=(bsz // tb,),
+        in_specs=[
+            pl.BlockSpec((tb, d, m), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tb, m, d + 1), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bsz, m, d + 1), dtype),
+        interpret=_interpret(),
+    )(g_dm, g_ws.reshape(bsz, 1))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
+def split_fused_rows(full, emb_dim: int):
+    """Fanout for wide-fused embedding rows [B, m, D+1] -> (x_dm [B, D, m],
+    wide_sum [B] f32). One Pallas kernel so the gather feeding it keeps its
+    fast row-major output layout (a D-minor gather layout cost 1.6ms extra
+    at 213k rows), and the slice/cast/reduce boundary ops fold into VMEM."""
+    return _split_fused_fwd_impl(full, emb_dim)
+
+
+def _split_fused_fwd(full, emb_dim):
+    return _split_fused_fwd_impl(full, emb_dim), None
+
+
+def _split_fused_bwd(emb_dim, _res, gs):
+    g_dm, g_ws = gs
+    # primal rows share the vector cotangent's dtype (bf16 or f32)
+    return (_split_fused_bwd_impl(g_dm, g_ws, g_dm.dtype, emb_dim),)
+
+
+split_fused_rows.defvjp(_split_fused_fwd, _split_fused_bwd)
 
 
 # ======================================================== pnn products
@@ -331,4 +427,6 @@ KERNELS = {
 # extra fused entry points (not 1:1 with reference ops)
 FUSED = {
     "cin_stack": cin_stack,
+    "cin_stack_dm": cin_stack_dm,
+    "split_fused_rows": split_fused_rows,
 }

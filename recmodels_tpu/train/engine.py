@@ -210,6 +210,11 @@ class Engine:
         emb = {name: coll.combine(rows[name]) for name, coll in self.collections.items()}
         if self._fused_wide:
             full = emb.pop("emb")  # [B, slots, D+1]
+            if hasattr(self.model, "apply_fused_rows"):
+                # model consumes the fused rows via one Pallas fanout —
+                # keeps the gather's fast row-major layout (engine.py note
+                # at split_fused_rows)
+                return self.model.apply_fused_rows(dense_params, dense, full)
             emb["emb"] = full[..., : self._emb_dim]
             emb["wide"] = full[..., self._emb_dim :]
         if "wide" in emb:
