@@ -67,14 +67,23 @@ def _interpret() -> bool:
 
 
 def _adagrad_kernel(pos_ref, lr_ref, uids_ref, *rest, eps, n_chunks,
-                    two_part):
+                    two_part, emit_shadow):
+    shadow_out = None
     if two_part:  # f32 grads decomposed into bf16 hi + lo halves
-        (ghi_ref, glo_ref, table_ref, acc_ref, table_out, acc_out,
-         ids_s, ghi_s, glo_s, sems) = rest
+        if emit_shadow:
+            (ghi_ref, glo_ref, table_ref, acc_ref, table_out, acc_out,
+             shadow_out, ids_s, ghi_s, glo_s, sems) = rest
+        else:
+            (ghi_ref, glo_ref, table_ref, acc_ref, table_out, acc_out,
+             ids_s, ghi_s, glo_s, sems) = rest
         g_refs, g_scratch = (ghi_ref, glo_ref), (ghi_s, glo_s)
     else:  # grads arrived bf16 — a single exact dot suffices
-        (ghi_ref, table_ref, acc_ref, table_out, acc_out,
-         ids_s, ghi_s, sems) = rest
+        if emit_shadow:
+            (ghi_ref, table_ref, acc_ref, table_out, acc_out,
+             shadow_out, ids_s, ghi_s, sems) = rest
+        else:
+            (ghi_ref, table_ref, acc_ref, table_out, acc_out,
+             ids_s, ghi_s, sems) = rest
         g_refs, g_scratch = (ghi_ref,), (ghi_s,)
     t = pl.program_id(0)
     n_t = pl.num_programs(0)
@@ -158,18 +167,28 @@ def _adagrad_kernel(pos_ref, lr_ref, uids_ref, *rest, eps, n_chunks,
 
     g = g[: acc_ref.shape[0], :]  # drop sublane padding (d16 -> d)
     acc_new = acc_ref[:] + g * g
-    table_out[:] = table_ref[:] - lr * g / (jnp.sqrt(acc_new) + eps)
+    t_new = table_ref[:] - lr * g / (jnp.sqrt(acc_new) + eps)
+    table_out[:] = t_new
     acc_out[:] = acc_new
+    if emit_shadow:
+        # row-major bf16 replica for the next step's gather: the master
+        # stays column-major (this kernel's fast view), but XLA's row
+        # gather against a column-major table costs ~1.6ms extra at 213k
+        # rows. Every tile is visited, so the shadow fully regenerates.
+        shadow_out[:] = jnp.swapaxes(t_new, 0, 1).astype(shadow_out.dtype)
 
 
-def sorted_adagrad_update(table, acc, uids, gsum, lr, eps, tr: int = TR):
+def sorted_adagrad_update(table, acc, uids, gsum, lr, eps, tr: int = TR,
+                          shadow_dtype=None):
     """Fused Adagrad over a SORTED (duplicates allowed) update stream.
 
     table, acc: [R, D] with R % tr == 0. uids: [N] sorted int32 — raw sorted
     batch ids; duplicates are summed exactly by the one-hot contraction.
     Sentinels (>= R) may pad the tail. gsum: [N, D] grads in the same order;
     f32 grads ride a bf16 hi/lo pair (two MXU dots), bf16 grads a single
-    dot. Returns (table', acc') updated in place (donated via aliasing).
+    dot. Returns (table', acc') updated in place (donated via aliasing), or
+    (table', acc', shadow') when ``shadow_dtype`` is set — shadow' is a
+    freshly written ROW-MAJOR low-precision replica for fast gathers.
     """
     r, d = table.shape
     assert r % tr == 0, (r, tr)
@@ -214,6 +233,18 @@ def sorted_adagrad_update(table, acc, uids, gsum, lr, eps, tr: int = TR):
         ).astype(jnp.int32)
 
     n_parts = len(g_ops)
+    emit_shadow = shadow_dtype is not None
+    out_specs = [
+        pl.BlockSpec((d, tr), lambda t, *_: (0, t)),
+        pl.BlockSpec((d, tr), lambda t, *_: (0, t)),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((d, r), table.dtype),
+        jax.ShapeDtypeStruct((d, r), acc.dtype),
+    ]
+    if emit_shadow:
+        out_specs.append(pl.BlockSpec((tr, d), lambda t, *_: (t, 0)))
+        out_shape.append(jax.ShapeDtypeStruct((r, d), shadow_dtype))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_tiles,),
@@ -226,27 +257,25 @@ def sorted_adagrad_update(table, acc, uids, gsum, lr, eps, tr: int = TR):
             pl.BlockSpec((d, tr), lambda t, *_: (0, t)),  # table^T tile
             pl.BlockSpec((d, tr), lambda t, *_: (0, t)),  # acc^T tile
         ],
-        out_specs=[
-            pl.BlockSpec((d, tr), lambda t, *_: (0, t)),
-            pl.BlockSpec((d, tr), lambda t, *_: (0, t)),
-        ],
+        out_specs=out_specs,
         scratch_shapes=[pltpu.VMEM((2, 1, tr), jnp.int32)]  # id chunks
         + [pltpu.VMEM((2, d16, tr), jnp.bfloat16)] * n_parts  # grad chunks
         + [pltpu.SemaphoreType.DMA((2, 1 + n_parts))],
     )
     lr_arr = jnp.asarray(lr, jnp.float32).reshape(1, 1)
     alias_base = 3 + n_parts  # pos, lr, uids operands precede the grad parts
-    table2_t, acc2_t = pl.pallas_call(
+    outs = pl.pallas_call(
         functools.partial(_adagrad_kernel, eps=eps, n_chunks=n_chunks,
-                          two_part=two_part),
+                          two_part=two_part, emit_shadow=emit_shadow),
         grid_spec=grid_spec,
-        out_shape=(
-            jax.ShapeDtypeStruct((d, r), table.dtype),
-            jax.ShapeDtypeStruct((d, r), acc.dtype),
-        ),
+        out_shape=tuple(out_shape),
         input_output_aliases={alias_base: 0, alias_base + 1: 1},  # in place
         interpret=_interpret(),
     )(pos, lr_arr, uids_p.reshape(1, -1), *g_ops, table.T, acc.T)
+    if emit_shadow:
+        table2_t, acc2_t, shadow2 = outs
+        return table2_t.T, acc2_t.T, shadow2
+    table2_t, acc2_t = outs
     return table2_t.T, acc2_t.T
 
 

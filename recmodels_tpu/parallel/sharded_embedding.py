@@ -61,12 +61,14 @@ class ShardedTables:
         axis_name: str = "data",
         capacity_factor: float = 2.0,
         local_batch_hint: int | None = None,
+        shadow_dtype=None,
     ):
         self.collections = collections
         self.sparse_opt = sparse_opt
         self.n_shards = n_shards
         self.axis_name = axis_name
         self.capacity_factor = capacity_factor
+        self.shadow_dtype = shadow_dtype
 
     # ------------------------------------------------------------ geometry
     def padded_rows(self, coll: str, group) -> int:
@@ -98,12 +100,25 @@ class ShardedTables:
         return out
 
     def init_opt(self, params) -> Dict[str, Dict[str, Any]]:
+        from recmodels_tpu.embedding import pallas_update
+
         out = {}
         for name, coll in self.collections.items():
-            out[name] = {
-                g.name: self.sparse_opt.init(self.padded_rows(name, g), g.dim)
-                for g in coll.groups
-            }
+            out[name] = {}
+            for g in coll.groups:
+                st = self.sparse_opt.init(self.padded_rows(name, g), g.dim)
+                table = params[name][g.name]
+                # per-SHARD shadow eligibility: the update kernel runs on the
+                # local [rows/shards, dim] shard (tile-divisible by design)
+                if (
+                    self.shadow_dtype is not None
+                    and self.sparse_opt.name == "adagrad"
+                    and table.ndim == 2
+                    and self.rows_per_shard(name, g) % pallas_update.TR == 0
+                    and pallas_update.supported(table)
+                ):
+                    st["shadow"] = table.astype(self.shadow_dtype)
+                out[name][g.name] = st
         return out
 
     # ------------------------------------------------------------ exchange
@@ -195,15 +210,18 @@ class ShardedTables:
         )
 
     # ----------------------------------------------------- engine strategy
-    def gather(self, emb_params, gids, dtype=None):
+    def gather(self, emb_params, gids, dtype=None, emb_opt=None):
         out = {}
         for name, coll in self.collections.items():
             out[name] = {}
             for g in coll.groups:
                 ids = gids[name][g.name]
                 b, ns = ids.shape
+                src = emb_params[name][g.name]
+                if emb_opt is not None:
+                    src = emb_opt[name][g.name].get("shadow", src)
                 rows = self._gather_group(
-                    emb_params[name][g.name], ids.reshape(-1),
+                    src, ids.reshape(-1),
                     self.rows_per_shard(name, g), dtype=dtype,
                 )
                 out[name][g.name] = rows.reshape(b, ns, g.dim)  # 1-D groups expand here

@@ -41,9 +41,11 @@ class TrainState(NamedTuple):
 class LocalTables:
     """Single-device / replicated table strategy: plain gather + local update."""
 
-    def __init__(self, collections: Dict[str, EmbeddingCollection], sparse_opt: SparseOptimizer):
+    def __init__(self, collections: Dict[str, EmbeddingCollection], sparse_opt: SparseOptimizer,
+                 shadow_dtype=None):
         self.collections = collections
         self.sparse_opt = sparse_opt
+        self.shadow_dtype = shadow_dtype
 
     def init_params(self, rng: jax.Array) -> Dict[str, Dict[str, jnp.ndarray]]:
         out = {}
@@ -52,20 +54,42 @@ class LocalTables:
             out[name] = coll.init(sub)
         return out
 
+    def _wants_shadow(self, opt_name: str, table) -> bool:
+        """Maintain a row-major low-precision gather replica for tables the
+        Pallas update kernel sweeps anyway (see pallas_update shadow note).
+        """
+        from recmodels_tpu.embedding import pallas_update
+
+        return (
+            self.shadow_dtype is not None
+            and opt_name == "adagrad"
+            and pallas_update.supported(table)
+        )
+
     def init_opt(self, params) -> Dict[str, Dict[str, Any]]:
         out = {}
         for name, coll in self.collections.items():
-            out[name] = {
-                g.name: self.sparse_opt.init(g.alloc_rows, g.dim) for g in coll.groups
-            }
+            out[name] = {}
+            for g in coll.groups:
+                st = self.sparse_opt.init(g.alloc_rows, g.dim)
+                table = params[name][g.name]
+                if self._wants_shadow(self.sparse_opt.name, table):
+                    st["shadow"] = table.astype(self.shadow_dtype)
+                out[name][g.name] = st
         return out
 
-    def gather(self, emb_params, gids, dtype=None):
+    def gather(self, emb_params, gids, dtype=None, emb_opt=None):
         """{coll: {group: [B, n_g]}} -> {coll: {group: [B, n_g, dim]}}"""
-        return {
-            name: coll.gather_rows(emb_params[name], gids[name], dtype)
-            for name, coll in self.collections.items()
-        }
+        out = {}
+        for name, coll in self.collections.items():
+            src = emb_params[name]
+            if emb_opt is not None:
+                src = {
+                    g.name: emb_opt[name][g.name].get("shadow", src[g.name])
+                    for g in coll.groups
+                }
+            out[name] = coll.gather_rows(src, gids[name], dtype)
+        return out
 
     def apply_grads(self, emb_params, emb_opt, gids, grad_rows, step, lr):
         from recmodels_tpu.embedding.optim import apply_updates
@@ -160,6 +184,12 @@ class Engine:
         # optimizer in bf16 — the Pallas kernel takes them as a single exact
         # MXU operand; XLA fallback routes upcast (optim.apply_updates).
         self._gather_dtype = getattr(self.model, "compute_dtype", jnp.float32)
+        if (
+            self._gather_dtype == jnp.bfloat16
+            and getattr(self.table_strategy, "shadow_dtype", False) is None
+        ):
+            # kernel-maintained row-major bf16 replica makes the gather fast
+            self.table_strategy.shadow_dtype = jnp.bfloat16
         if self.dense_optimizer == "adam":
             self.dense_tx = optax.adam(self.dense_lr)
         elif self.dense_optimizer == "adagrad":
@@ -225,14 +255,18 @@ class Engine:
     def logits(self, state: TrainState, dense: jnp.ndarray, ids: jnp.ndarray) -> jnp.ndarray:
         """Inference forward pass."""
         gids = self._group_ids(ids)
-        rows = self.table_strategy.gather(state.emb_params, gids, self._gather_dtype)
+        rows = self.table_strategy.gather(
+            state.emb_params, gids, self._gather_dtype, state.emb_opt
+        )
         return self._forward_from_rows(state.dense_params, rows, dense)
 
     # --------------------------------------------------------------- train
     def train_step(self, state: TrainState, dense, ids, labels):
         """One optimizer step. Returns (new_state, {'loss': mean_bce})."""
         gids = self._group_ids(ids)
-        rows = self.table_strategy.gather(state.emb_params, gids, self._gather_dtype)
+        rows = self.table_strategy.gather(
+            state.emb_params, gids, self._gather_dtype, state.emb_opt
+        )
 
         def loss_fn(dense_params, rows):
             logits = self._forward_from_rows(dense_params, rows, dense)
