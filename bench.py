@@ -27,6 +27,10 @@ import jax.numpy as jnp
 
 jax.config.update("jax_compilation_cache_dir", os.environ["JAX_COMPILATION_CACHE_DIR"])
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+if os.environ.get("RECMODELS_BENCH_CPU"):
+    # scaling-mode re-exec onto fake CPU devices: this environment's
+    # sitecustomize re-sets jax_platforms at import, so fix it post-import
+    jax.config.update("jax_platforms", "cpu")
 
 GOLDENS_PATH = os.path.join(os.path.dirname(__file__), "bench", "goldens.json")
 
@@ -111,6 +115,74 @@ def bench_model(name: str, batch: int, steps: int, warmup: int, vocab: int, dim:
     }
 
 
+def bench_scaling(name: str, devices: int, batch_per_device: int, steps: int,
+                  vocab: int, dim: int, bf16: bool) -> dict:
+    """Scaling-efficiency harness (BASELINE.json:5 '>=80% examples/s scaling
+    efficiency'): times the sharded train_scan (row-sharded tables +
+    all_to_all + psum under shard_map) on an n-device mesh vs the same code
+    on a 1-device mesh, with CONSTANT per-device batch (weak scaling).
+    On this 1-chip environment it runs on fake CPU devices — a correctness/
+    plumbing smoke whose JSON shape is ready for real multi-chip hardware
+    (CPU numbers are not perf)."""
+    import numpy as np
+
+    from recmodels_tpu.data import SyntheticSource, criteo_schema
+    from recmodels_tpu.models import build_model
+    from recmodels_tpu.parallel import (
+        build_parallel_engine,
+        build_parallel_scan,
+        make_mesh,
+        shard_state,
+    )
+
+    schema = criteo_schema(vocab_size=vocab, embed_dim=dim)
+    kw = dict(MODEL_KW[name])
+    if bf16 and name not in ("lr", "fm"):
+        kw["compute_dtype"] = jnp.bfloat16
+
+    def run_mesh(n_dev: int) -> float:
+        mesh = make_mesh(n_dev)
+        model = build_model(name, schema, **kw)
+        engine = build_parallel_engine(model, mesh)
+        state = shard_state(engine.init(jax.random.key(0)), mesh)
+        scan = build_parallel_scan(engine, mesh)
+        gbatch = batch_per_device * n_dev
+        src = SyntheticSource(schema, batch_size=gbatch, seed=1)
+        it = iter(src)
+        ds, iss, ls = zip(*((b.dense, b.ids, b.labels) for b, _ in zip(it, range(steps))))
+        xs = (jnp.asarray(np.stack(ds)), jnp.asarray(np.stack(iss)), jnp.asarray(np.stack(ls)))
+        small = tuple(x[:1] for x in xs)
+        state, m = scan(state, *small)
+        float(m["loss"])
+        state, m = scan(state, *xs)
+        float(m["loss"])
+
+        def run(sb):
+            nonlocal state
+            t0 = time.time()
+            state, m = scan(state, *sb)
+            float(m["loss"])
+            return time.time() - t0
+
+        t1 = min(run(small) for _ in range(3))
+        t2 = min(run(xs) for _ in range(3))
+        dt = max((t2 - t1) / (steps - 1), 1e-9)
+        return gbatch / dt
+
+    eps1 = run_mesh(1)
+    epsn = run_mesh(devices)
+    eff = (epsn / devices) / eps1
+    return {
+        "model": name,
+        "devices": devices,
+        "examples_per_sec_1dev": round(eps1, 1),
+        "examples_per_sec_ndev": round(epsn, 1),
+        "scaling_efficiency": round(eff, 4),
+        "batch_per_device": batch_per_device,
+        "platform": jax.default_backend(),
+    }
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--model", default="xdeepfm", choices=sorted(MODEL_KW))
@@ -121,7 +193,37 @@ def main():
     ap.add_argument("--vocab", type=int, default=100_000)
     ap.add_argument("--dim", type=int, default=16)
     ap.add_argument("--no-bf16", action="store_true")
+    ap.add_argument("--devices", type=int, default=0,
+                    help="scaling mode: weak-scaling efficiency on an N-device "
+                         "mesh (re-execs onto N fake CPU devices if fewer are attached)")
+    ap.add_argument("--batch-per-device", type=int, default=4096)
     args = ap.parse_args()
+
+    if args.devices:
+        if len(jax.devices()) < args.devices and not os.environ.get("RECMODELS_BENCH_CPU"):
+            # not enough real devices: re-exec onto a fake CPU mesh
+            import sys
+
+            env = dict(os.environ)
+            flags = env.get("XLA_FLAGS", "")
+            if "host_platform_device_count" not in flags:
+                env["XLA_FLAGS"] = (
+                    flags + f" --xla_force_host_platform_device_count={args.devices}"
+                ).strip()
+            env["RECMODELS_BENCH_CPU"] = "1"
+            os.execve(sys.executable, [sys.executable] + sys.argv, env)
+        r = bench_scaling(
+            args.model, args.devices, args.batch_per_device, max(args.steps, 8),
+            args.vocab, args.dim, bf16=not args.no_bf16,
+        )
+        print(json.dumps({
+            "metric": f"{args.model}_scaling_efficiency_{args.devices}dev",
+            "value": r["scaling_efficiency"],
+            "unit": "fraction",
+            "vs_baseline": round(r["scaling_efficiency"] / 0.8, 3),  # target >=0.8
+            **r,
+        }))
+        return
 
     goldens = {}
     if os.path.exists(GOLDENS_PATH):

@@ -49,7 +49,9 @@ def main(argv=None):
     trainer.logger.log_text(f"restored step {int(state.step)} from {args.ckpt_dir}")
 
     schema = build_schema(cfg)
-    source = build_source(cfg, schema, args.data, seed=cfg.seed)
+    # loop=False: file sources yield each row exactly once (incl. the ragged
+    # tail batch, padded + masked below so every row counts toward metrics)
+    source = build_source(cfg, schema, args.data, seed=cfg.seed, loop=False)
     logits_fn = jax.jit(trainer.engine.logits)
 
     auc_state = metrics_lib.auc_init()
@@ -58,13 +60,26 @@ def main(argv=None):
     for i, b in enumerate(source):
         if args.max_batches is not None and i >= args.max_batches:
             break
-        if b.size != cfg.batch_size:
-            break  # static shapes; final ragged batch skipped
-        lg = logits_fn(state, jnp.asarray(b.dense), jnp.asarray(b.ids))
-        auc_state = metrics_lib.auc_update(auc_state, lg, jnp.asarray(b.labels))
-        n += b.size
+        real = b.size
+        dense, ids, labels = b.dense, b.ids, b.labels
+        if real != cfg.batch_size:
+            # pad to the static batch shape; padded rows get zero weight
+            pad = cfg.batch_size - real
+            dense = np.concatenate([dense, np.zeros((pad,) + dense.shape[1:], dense.dtype)])
+            ids = np.concatenate([ids, np.zeros((pad,) + ids.shape[1:], ids.dtype)])
+            labels = np.concatenate([labels, np.zeros((pad,), labels.dtype)])
+        weight = None
+        if real != cfg.batch_size:
+            weight = jnp.asarray(
+                (np.arange(cfg.batch_size) < real).astype(np.float32)
+            )
+        lg = logits_fn(state, jnp.asarray(dense), jnp.asarray(ids))
+        auc_state = metrics_lib.auc_update(
+            auc_state, lg, jnp.asarray(labels), weight=weight
+        )
+        n += real
         if out_f:
-            for p in np.asarray(jax.nn.sigmoid(lg)):
+            for p in np.asarray(jax.nn.sigmoid(lg))[:real]:
                 out_f.write(f"{p:.6f}\n")
         if args.data == "synthetic" and args.max_batches is None and i >= 19:
             break  # synthetic stream is infinite

@@ -210,8 +210,11 @@ class ShardedTables:
         )
 
     # ----------------------------------------------------- engine strategy
-    def gather(self, emb_params, gids, dtype=None, emb_opt=None):
-        out = {}
+    def gather(self, emb_params, gids, dtype=None, emb_opt=None, with_stats=False):
+        """``with_stats``: also return the total dropped-lookup (overflow)
+        count, so the training loop can surface capacity misconfiguration
+        instead of silently training on zero rows."""
+        out, total = {}, jnp.zeros((), jnp.int32)
         for name, coll in self.collections.items():
             out[name] = {}
             for g in coll.groups:
@@ -220,30 +223,22 @@ class ShardedTables:
                 src = emb_params[name][g.name]
                 if emb_opt is not None:
                     src = emb_opt[name][g.name].get("shadow", src)
-                rows = self._gather_group(
+                res = self._gather_group(
                     src, ids.reshape(-1),
-                    self.rows_per_shard(name, g), dtype=dtype,
+                    self.rows_per_shard(name, g), with_stats=with_stats,
+                    dtype=dtype,
                 )
+                rows, ovf = res if with_stats else (res, None)
                 out[name][g.name] = rows.reshape(b, ns, g.dim)  # 1-D groups expand here
+                if with_stats:
+                    total = total + ovf
+        if with_stats:
+            return out, total
         return out
 
     def gather_with_stats(self, emb_params, gids):
         """gather + total overflow count (for logging/monitoring)."""
-        out, total = {}, jnp.zeros((), jnp.int32)
-        for name, coll in self.collections.items():
-            out[name] = {}
-            for g in coll.groups:
-                ids = gids[name][g.name]
-                b, ns = ids.shape
-                rows, ovf = self._gather_group(
-                    emb_params[name][g.name],
-                    ids.reshape(-1),
-                    self.rows_per_shard(name, g),
-                    with_stats=True,
-                )
-                out[name][g.name] = rows.reshape(b, ns, g.dim)  # 1-D groups expand
-                total = total + ovf
-        return out, total
+        return self.gather(emb_params, gids, with_stats=True)
 
     def apply_grads(self, emb_params, emb_opt, gids, grad_rows, step, lr):
         new_params, new_opt = {}, {}

@@ -102,7 +102,7 @@ def build_parallel_steps(engine: Engine, mesh, donate: bool = True):
             engine.train_step,
             mesh=mesh,
             in_specs=(specs, batch_p, batch_p, batch_p),
-            out_specs=(specs, {"loss": P()}),
+            out_specs=(specs, {"loss": P(), "overflow": P()}),
             check_vma=False,
         )
         return fn(state, dense, ids, labels)
@@ -136,7 +136,7 @@ def build_parallel_scan(engine: Engine, mesh, donate: bool = True):
             engine.train_scan,
             mesh=mesh,
             in_specs=(specs, xs_p, xs_p, xs_p),
-            out_specs=(specs, {"loss": P(), "losses": P()}),
+            out_specs=(specs, {"loss": P(), "losses": P(), "overflow": P()}),
             check_vma=False,
         )
         return fn(state, dense, ids, labels)

@@ -78,8 +78,10 @@ class LocalTables:
                 out[name][g.name] = st
         return out
 
-    def gather(self, emb_params, gids, dtype=None, emb_opt=None):
-        """{coll: {group: [B, n_g]}} -> {coll: {group: [B, n_g, dim]}}"""
+    def gather(self, emb_params, gids, dtype=None, emb_opt=None, with_stats=False):
+        """{coll: {group: [B, n_g]}} -> {coll: {group: [B, n_g, dim]}}.
+        ``with_stats``: also return an overflow counter (always 0 locally —
+        replicated tables never drop lookups; parity with ShardedTables)."""
         out = {}
         for name, coll in self.collections.items():
             src = emb_params[name]
@@ -89,6 +91,8 @@ class LocalTables:
                     for g in coll.groups
                 }
             out[name] = coll.gather_rows(src, gids[name], dtype)
+        if with_stats:
+            return out, jnp.zeros((), jnp.int32)
         return out
 
     def apply_grads(self, emb_params, emb_opt, gids, grad_rows, step, lr):
@@ -262,10 +266,14 @@ class Engine:
 
     # --------------------------------------------------------------- train
     def train_step(self, state: TrainState, dense, ids, labels):
-        """One optimizer step. Returns (new_state, {'loss': mean_bce})."""
+        """One optimizer step. Returns (new_state, {'loss': mean_bce,
+        'overflow': dropped-lookup count — nonzero only with sharded tables
+        whose capacity_factor is undersized; surfaced so Trainer can log it
+        instead of silently training on zero rows})."""
         gids = self._group_ids(ids)
-        rows = self.table_strategy.gather(
-            state.emb_params, gids, self._gather_dtype, state.emb_opt
+        rows, overflow = self.table_strategy.gather(
+            state.emb_params, gids, self._gather_dtype, state.emb_opt,
+            with_stats=True,
         )
 
         def loss_fn(dense_params, rows):
@@ -278,6 +286,7 @@ class Engine:
         )
         if self.axis_name is not None:
             loss = jax.lax.pmean(loss, self.axis_name)
+            overflow = jax.lax.psum(overflow, self.axis_name)
             g_dense = jax.lax.pmean(g_dense, self.axis_name)
             # Embedding grads are summed per-row at the owning shard across
             # ALL devices' occurrences, so the per-example weight must be
@@ -304,7 +313,7 @@ class Engine:
             emb_params=emb_params,
             emb_opt=emb_opt,
         )
-        return new_state, {"loss": loss}
+        return new_state, {"loss": loss, "overflow": overflow}
 
     # ----------------------------------------------------------- multi-step
     def train_scan(self, state: TrainState, dense, ids, labels):
@@ -317,10 +326,14 @@ class Engine:
         def body(st, batch):
             d, i, l = batch
             st, m = self.train_step(st, d, i, l)
-            return st, m["loss"]
+            return st, (m["loss"], m["overflow"])
 
-        state, losses = jax.lax.scan(body, state, (dense, ids, labels))
-        return state, {"loss": losses[-1], "losses": losses}
+        state, (losses, overflows) = jax.lax.scan(body, state, (dense, ids, labels))
+        return state, {
+            "loss": losses[-1],
+            "losses": losses,
+            "overflow": jnp.max(overflows),
+        }
 
     def jit_train_scan(self, donate: bool = True):
         return jax.jit(self.train_scan, donate_argnums=(0,) if donate else ())

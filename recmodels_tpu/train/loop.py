@@ -31,7 +31,7 @@ def build_schema(cfg: TrainConfig) -> Schema:
 
 
 def build_source(cfg: TrainConfig, schema: Schema, spec: str, seed: int,
-                 shard_index: int = 0, shard_count: int = 1):
+                 shard_index: int = 0, shard_count: int = 1, loop: bool = True):
     if spec == "synthetic":
         return SyntheticSource(
             schema, cfg.batch_size, seed=seed, shard_index=shard_index, shard_count=shard_count
@@ -42,19 +42,31 @@ def build_source(cfg: TrainConfig, schema: Schema, spec: str, seed: int,
         cfg.batch_size,
         shard_index=shard_index,
         shard_count=shard_count,
-        loop=True,
+        loop=loop,
         shuffle_buffer=cfg.shuffle_buffer,
         seed=seed,
     )
 
 
 class Trainer:
-    """Single-host trainer; picks local vs sharded tables by device count."""
+    """Trainer; picks local vs sharded tables by device count.
+
+    Multi-HOST (``jax.process_count() > 1``, after ``multihost.initialize``):
+    every process runs this same loop; each feeds its per-host data shard and
+    batches are assembled into global arrays with
+    ``jax.make_array_from_process_local_data`` (the JAX-native replacement for
+    the reference's driver-side RDD dispatch, SURVEY.md §3.1). TB logs and
+    checkpoint metadata are written by the primary host only.
+    """
 
     def __init__(self, cfg: TrainConfig, logger: MetricsLogger | None = None):
+        from recmodels_tpu.parallel import multihost
+
         self.cfg = cfg
         self.schema = build_schema(cfg)
-        self.logger = logger or MetricsLogger(cfg.tb_dir)
+        self.logger = logger or MetricsLogger(
+            cfg.tb_dir if multihost.is_primary() else None
+        )
         model = build_model(cfg.model, self.schema, **cfg.model_kwargs())
 
         n_dev = cfg.n_devices or len(jax.devices())
@@ -62,6 +74,7 @@ class Trainer:
         if n_dev > 1:
             from recmodels_tpu.parallel import (
                 build_parallel_engine,
+                build_parallel_scan,
                 build_parallel_steps,
                 make_mesh,
                 shard_state,
@@ -79,6 +92,9 @@ class Trainer:
             )
             self._shard = lambda s: shard_state(s, self.mesh)
             self.train_step, self.eval_step = build_parallel_steps(self.engine, self.mesh)
+            self.train_scan = (
+                build_parallel_scan(self.engine, self.mesh) if cfg.scan_steps > 1 else None
+            )
         else:
             self.mesh = None
             self.engine = Engine(
@@ -91,6 +107,7 @@ class Trainer:
             self._shard = lambda s: s
             self.train_step = self.engine.jit_train_step()
             self.eval_step = self.engine.jit_eval_step()
+            self.train_scan = self.engine.jit_train_scan() if cfg.scan_steps > 1 else None
 
         self.ckpt = (
             CheckpointManager(cfg.ckpt_dir, save_interval_steps=cfg.ckpt_every)
@@ -98,6 +115,28 @@ class Trainer:
             else None
         )
         self.profile_dir: str | None = None  # set to capture a trace of steps 10-20
+
+    # --------------------------------------------------------- batch placement
+    def _put(self, arr, leading_dims: int = 1):
+        """numpy host array -> device array. On a mesh, the batch axis is
+        split over 'data'; multi-process runs contribute their local shard
+        via make_array_from_process_local_data (each host's arrays are its
+        slice of the global batch)."""
+        import numpy as np
+
+        arr = np.asarray(arr)
+        if self.mesh is None:
+            return jnp.asarray(arr)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from recmodels_tpu.parallel.mesh import DATA_AXIS
+
+        axes = [None] * arr.ndim
+        axes[leading_dims - 1] = DATA_AXIS  # [K, B, ...] splits B; [B, ...] splits B
+        sharding = NamedSharding(self.mesh, P(*axes))
+        if jax.process_count() > 1:
+            return jax.make_array_from_process_local_data(sharding, arr)
+        return jax.device_put(arr, sharding)
 
     # ------------------------------------------------------------------ run
     def run(self) -> dict:
@@ -115,44 +154,110 @@ class Trainer:
             source.set_state(data_state)
             start_step = int(state.step)
             self.logger.log_text(f"resumed from checkpoint at step {start_step}")
-        if cfg.ckpt_dir:
+        if cfg.ckpt_dir and multihost.is_primary():
             os.makedirs(cfg.ckpt_dir, exist_ok=True)
             with open(os.path.join(cfg.ckpt_dir, "config.json"), "w") as f:
                 f.write(cfg.to_json())
 
+        # ---- background parse/stack pipeline -------------------------------
+        # The producer thread parses K batches at a time into a superbatch and
+        # records the data cursor AFTER producing it; the cursor is only
+        # checkpointed once the training loop has consumed that superbatch, so
+        # SIGKILL-resume replays exactly the unconsumed examples
+        # (tests/test_resilience.py). K>1 runs lax.scan'd multi-step programs
+        # (engine.train_scan) so host dispatch amortizes — the fix for the
+        # train.py-vs-bench.py throughput gap.
+        import queue
+        import threading
+
+        k = max(1, cfg.scan_steps)
+        total = cfg.steps - start_step
+        plan = [k] * (total // k) + ([total % k] if total % k else [])
         it = iter(source)
+        q: queue.Queue = queue.Queue(maxsize=max(1, cfg.prefetch_batches))
+        stop = threading.Event()
+        err: list[BaseException] = []
+
+        def producer():
+            import numpy as np
+
+            try:
+                for kk in plan:
+                    ds, iss, ls = [], [], []
+                    for _ in range(kk):
+                        b = next(it)
+                        ds.append(b.dense)
+                        iss.append(b.ids)
+                        ls.append(b.labels)
+                    if kk == 1 and k == 1:
+                        arrays = (ds[0], iss[0], ls[0])
+                    else:
+                        arrays = (np.stack(ds), np.stack(iss), np.stack(ls))
+                    item = (kk, arrays, source.state())
+                    while not stop.is_set():
+                        try:
+                            q.put(item, timeout=0.2)
+                            break
+                        except queue.Full:
+                            continue
+                    if stop.is_set():
+                        return
+            except BaseException as e:  # noqa: BLE001 — surfaced in main thread
+                err.append(e)
+                q.put(None)
+
+        th = threading.Thread(target=producer, daemon=True)
+        th.start()
+
         t_last = time.time()
         examples_since = 0
         final = {}
-        for i in range(start_step, cfg.steps):
-            if self.profile_dir is not None and i == 10:
-                jax.profiler.start_trace(self.profile_dir)
-            b = next(it)
-            state, m = self.train_step(
-                state, jnp.asarray(b.dense), jnp.asarray(b.ids), jnp.asarray(b.labels)
-            )
-            examples_since += b.size
-            step_no = i + 1
-            if self.profile_dir is not None and step_no == 20:
-                jax.tree.leaves(state)[0].block_until_ready()
-                jax.profiler.stop_trace()
-                self.logger.log_text(f"profiler trace written to {self.profile_dir}")
-            if step_no % cfg.log_every == 0:
-                now = time.time()
-                eps = examples_since / max(now - t_last, 1e-9)
-                self.logger.log_scalars(
-                    step_no, {"loss": float(m["loss"]), "examples_per_sec": eps}
-                )
-                t_last, examples_since = now, 0
-            if cfg.eval_every and step_no % cfg.eval_every == 0:
-                final = self.evaluate(state, step_no)
-            if self.ckpt is not None:
-                self.ckpt.save(step_no, state, data_state=source.state())
+        step_no = start_step
+        last_cursor = source.state()
+        try:
+            for n_sb, _ in enumerate(plan):
+                item = q.get()
+                if item is None:
+                    raise err[0]
+                kk, arrays, cursor = item
+                last_cursor = cursor
+                if self.profile_dir is not None and n_sb == 2:
+                    jax.profiler.start_trace(self.profile_dir)
+                if kk == 1 and k == 1:
+                    dense, ids, labels = (self._put(a) for a in arrays)
+                    state, m = self.train_step(state, dense, ids, labels)
+                else:
+                    # jit recompiles once for a ragged tail superbatch (kk < k)
+                    dense, ids, labels = (self._put(a, leading_dims=2) for a in arrays)
+                    state, m = self.train_scan(state, dense, ids, labels)
+                prev = step_no
+                step_no += kk
+                examples_since += kk * cfg.batch_size
+                if self.profile_dir is not None and n_sb == 4:
+                    jax.tree.leaves(state)[0].block_until_ready()
+                    jax.profiler.stop_trace()
+                    self.logger.log_text(f"profiler trace written to {self.profile_dir}")
+                if prev // cfg.log_every != step_no // cfg.log_every:
+                    now = time.time()
+                    eps = examples_since / max(now - t_last, 1e-9)
+                    scalars = {
+                        "loss": float(m["loss"]),
+                        "examples_per_sec": eps,
+                        "embedding_overflow": float(m.get("overflow", 0)),
+                    }
+                    self.logger.log_scalars(step_no, scalars)
+                    t_last, examples_since = now, 0
+                if cfg.eval_every and prev // cfg.eval_every != step_no // cfg.eval_every:
+                    final = self.evaluate(state, step_no)
+                if self.ckpt is not None:
+                    self.ckpt.save(step_no, state, data_state=cursor)
+        finally:
+            stop.set()
         if cfg.eval_every and (cfg.steps % cfg.eval_every) != 0:
             final = self.evaluate(state, cfg.steps)
         if self.ckpt is not None:
             if self.ckpt.latest_step() != cfg.steps:  # loop may have saved it
-                self.ckpt.save(cfg.steps, state, data_state=source.state(), force=True)
+                self.ckpt.save(cfg.steps, state, data_state=last_cursor, force=True)
             self.ckpt.wait()
         self.state = state
         return final
@@ -174,7 +279,7 @@ class Trainer:
         for _ in range(cfg.eval_batches):
             b = next(vit)
             auc_state = self.eval_step(
-                state, auc_state, jnp.asarray(b.dense), jnp.asarray(b.ids), jnp.asarray(b.labels)
+                state, auc_state, self._put(b.dense), self._put(b.ids), self._put(b.labels)
             )
         out = metrics_lib.auc_compute(auc_state)
         scalars = {"auc": float(out["auc"]), "logloss": float(out["logloss"])}

@@ -40,6 +40,10 @@ class TrainConfig:
     # distribution
     n_devices: int | None = None  # None = all; 1 = local tables
     capacity_factor: float = 2.0
+    # dispatch: steps per device program (lax.scan superbatch). >1 amortizes
+    # host dispatch latency; 1 keeps the step-at-a-time path.
+    scan_steps: int = 1
+    prefetch_batches: int = 2  # host-side parse/stack pipeline depth
     # io
     ckpt_dir: str | None = None
     ckpt_every: int = 1000
