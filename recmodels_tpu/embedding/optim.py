@@ -111,23 +111,23 @@ def apply_updates(opt: "SparseOptimizer", table, state, ids_flat, grads_flat, st
         # (the full dedup pipeline measured 8.3ms vs 0.5ms for this at 213k
         # ids on v5e). sort_key_val returns the sorted keys alongside the
         # permutation — argsort + ids[order] would re-gather the ids
-        # (1.5ms of random access at 213k ids).
+        # (1.5ms of random access at 213k ids). The identical sort_key_val
+        # appears in the Pallas sweep gather's plan; XLA CSE merges them.
         n = ids_flat.shape[0]
         sorted_ids, order = jax.lax.sort_key_val(
             ids_flat, jnp.arange(n, dtype=jnp.int32)
         )
         h = opt.hyper
-        shadow = state.get("shadow")
-        out = pallas_update.sorted_adagrad_update(
+        fn = (
+            pallas_update.sorted_adagrad_update_packed
+            if table.ndim == 3
+            else pallas_update.sorted_adagrad_update
+        )
+        table, acc = fn(
             table, state["acc"], sorted_ids,
             jnp.take(grads_flat, order, axis=0), lr, h["eps"],
-            shadow_dtype=None if shadow is None else shadow.dtype,
         )
-        if shadow is None:
-            table, acc = out
-            return table, {"acc": acc}
-        table, acc, shadow = out
-        return table, {"acc": acc, "shadow": shadow}
+        return table, {"acc": acc}
     # XLA fallback routes assume f32 grad math (segment sums, scatter-adds)
     grads_flat = grads_flat.astype(jnp.float32)
     num_rows = table.shape[0]
@@ -155,23 +155,14 @@ def sparse_adagrad(eps: float = 1e-8, initial_accumulator: float = 0.1) -> Spars
         delta = -lr * gsum / (jnp.sqrt(acc_new) + eps)
         acc = state["acc"].at[uids].set(acc_new, mode="drop", **hints)
         table = table.at[uids].add(delta.astype(table.dtype), mode="drop", **hints)
-        new_state = {"acc": acc}
-        if "shadow" in state:  # keep the low-precision gather replica fresh
-            rows = table.at[uids].get(mode="fill", fill_value=0.0, **hints)
-            new_state["shadow"] = state["shadow"].at[uids].set(
-                rows.astype(state["shadow"].dtype), mode="drop", **hints
-            )
-        return table, new_state
+        return table, {"acc": acc}
 
     def apply_dense(table, state, ids, grads, step, lr):
         del step
         g = jnp.zeros(table.shape, jnp.float32).at[ids].add(grads, mode="drop")
         acc = state["acc"] + g * g
         table = table - (lr * g / (jnp.sqrt(acc) + eps)).astype(table.dtype)
-        new_state = {"acc": acc}
-        if "shadow" in state:
-            new_state["shadow"] = table.astype(state["shadow"].dtype)
-        return table, new_state
+        return table, {"acc": acc}
 
     return SparseOptimizer("adagrad", init, apply, apply_dense,
                            hyper={"eps": eps, "initial_accumulator": initial_accumulator})

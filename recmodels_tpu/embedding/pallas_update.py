@@ -15,32 +15,35 @@ Design (v2 — duplicate-tolerant "CSR sweep"):
      machinery measured at 8.3ms per step at 213k ids — vs 0.5ms for the
      argsort + grad permute that remain);
   2. the sorted update stream is cut into STATIC position-chunks
-     ``[k*tr, (k+1)*tr)``. Chunks partition positions, so no entry can be
+     ``[k*tc, (k+1)*tc)``. Chunks partition positions, so no entry can be
      counted twice, and chunk DMA offsets are 128-aligned by construction —
      no dynamic window alignment, no column-validity mask, no exact per-tile
      start offsets;
   3. which chunks a table tile must see is derived from a strided COARSE
-     subsample (``sg[::tr]``, ~N/tr values): chunks strictly before the
+     subsample (``sg[::tc]``, ~N/tc values): chunks strictly before the
      first / after the last chunk that can contain the tile's rows are
      skipped. Over-approximation is harmless — foreign entries never match
      the tile's one-hot;
-  4. the kernel sweeps the table in column tiles (auto-pipelined BlockSpecs);
+  4. the kernel sweeps the table in tiles (auto-pipelined BlockSpecs);
      each tile DMAs its first chunk double-buffered across grid steps, any
-     extra chunks (only when > tr updates land in one tile) sequentially,
-     expands ids with a [tr, tr] one-hot from iota-compare, and contracts on
+     extra chunks (only when > tc updates land in one tile) sequentially,
+     expands ids with a [tc, tr] one-hot from iota-compare, and contracts on
      the MXU; then the Adagrad elementwise math — all in VMEM, written back
      in place (input_output_aliases);
   5. grads arrive as a bf16 hi/lo decomposition (hi + lo == f32 grad to
      ~2^-17 rel): two single-pass bf16 MXU dots are 2.3x faster than one
      Precision.HIGHEST f32 dot (6 passes), and DEFAULT f32 (1 truncated
-     pass) was 5e-4 off.
+     pass) was 5e-4 off. bf16 grads (bf16-compute models) take one exact dot.
 
-Layout: the kernel operates on the TRANSPOSED view ``[D, R]``. XLA prefers
-column-major ``{0,1}`` for the ``[R, D]`` tables (the gather's choice), and
-a row-major transposed view is byte-identical to that — so wrapping the
-kernel in ``table.T`` / ``.T`` lets layout assignment cancel the transposes
-instead of materializing full-table relayout copies (which cost 8.8ms/step
-in the first, row-major version of this kernel).
+Layouts: two table layouts are accepted —
+  * PACKED [n_tiles, d, tr] (``pallas_gather.pack``): tile t is a full-dims
+    slice ``packed[t]`` — the layout the sweep-gather kernel needs, so
+    LocalTables stores the master this way and both kernels consume it with
+    zero relayouts;
+  * TRANSPOSED 2-D [d, R] view (``table.T`` of the [R, d] master): XLA
+    prefers column-major {0,1} for [R, d] tables, and a row-major transposed
+    view is byte-identical to that — kept for ShardedTables' per-shard
+    updates, where gathers still run through XLA.
 
 Requires table rows % tr == 0 — EmbeddingCollection pads allocations to
 ALLOC_MULTIPLE rows (logical vocab unchanged; pad rows are never gathered;
@@ -57,7 +60,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-TR = 512  # table rows per tile == update-chunk length (both 128-multiples)
+TR = 512  # table rows per tile (128-multiple; == pallas_gather.TR)
+TC = 512  # update-stream positions per chunk (128-multiple)
 
 _INTERPRET = False
 
@@ -67,28 +71,19 @@ def _interpret() -> bool:
 
 
 def _adagrad_kernel(pos_ref, lr_ref, uids_ref, *rest, eps, n_chunks,
-                    two_part, emit_shadow):
-    shadow_out = None
+                    two_part, packed, tc):
     if two_part:  # f32 grads decomposed into bf16 hi + lo halves
-        if emit_shadow:
-            (ghi_ref, glo_ref, table_ref, acc_ref, table_out, acc_out,
-             shadow_out, ids_s, ghi_s, glo_s, sems) = rest
-        else:
-            (ghi_ref, glo_ref, table_ref, acc_ref, table_out, acc_out,
-             ids_s, ghi_s, glo_s, sems) = rest
+        (ghi_ref, glo_ref, table_ref, acc_ref, table_out, acc_out,
+         ids_s, ghi_s, glo_s, sems) = rest
         g_refs, g_scratch = (ghi_ref, glo_ref), (ghi_s, glo_s)
     else:  # grads arrived bf16 — a single exact dot suffices
-        if emit_shadow:
-            (ghi_ref, table_ref, acc_ref, table_out, acc_out,
-             shadow_out, ids_s, ghi_s, sems) = rest
-        else:
-            (ghi_ref, table_ref, acc_ref, table_out, acc_out,
-             ids_s, ghi_s, sems) = rest
+        (ghi_ref, table_ref, acc_ref, table_out, acc_out,
+         ids_s, ghi_s, sems) = rest
         g_refs, g_scratch = (ghi_ref,), (ghi_s,)
     t = pl.program_id(0)
     n_t = pl.num_programs(0)
     lr = lr_ref[0, 0]
-    tr = ids_s.shape[2]
+    tr = table_ref.shape[-1]
 
     def first_chunk(tile):
         # pos_ref[tile] = searchsorted(coarse, tile*tr, 'left'); every chunk
@@ -98,16 +93,16 @@ def _adagrad_kernel(pos_ref, lr_ref, uids_ref, *rest, eps, n_chunks,
         return jnp.clip(p - 1, 0, n_chunks - 1)
 
     def chunk_dmas(chunk, slot):
-        off = pl.multiple_of(chunk * tr, 128)
+        off = pl.multiple_of(chunk * tc, 128)
         dmas = [
             pltpu.make_async_copy(
-                uids_ref.at[0, pl.ds(off, tr)], ids_s.at[slot, 0, :], sems.at[slot, 0]
+                uids_ref.at[0, pl.ds(off, tc)], ids_s.at[slot, 0, :], sems.at[slot, 0]
             )
         ]
         for j, (ref, scr) in enumerate(zip(g_refs, g_scratch)):
             dmas.append(
                 pltpu.make_async_copy(
-                    ref.at[:, pl.ds(off, tr)], scr.at[slot], sems.at[slot, 1 + j]
+                    ref.at[:, pl.ds(off, tc)], scr.at[slot], sems.at[slot, 1 + j]
                 )
             )
         return dmas
@@ -129,18 +124,20 @@ def _adagrad_kernel(pos_ref, lr_ref, uids_ref, *rest, eps, n_chunks,
     for dma in chunk_dmas(lo_t, slot):
         dma.wait()
 
-    row = jax.lax.broadcasted_iota(jnp.int32, (tr, tr), 0) + t * tr
-    # Select in f32 layout (the i1 mask lives in 32-bit (8,128) tiling;
-    # Mosaic can't relayout i1 straight to bf16 (16,128)), cast for the MXU.
-    dims = (((1,), (1,)), ((), ()))
+    # onehot[row, pos]: row on sublanes via iota, ids broadcast along lanes
+    # (pos) — no relayout of the id vector. Select in f32 layout (the i1
+    # mask lives in 32-bit (8,128) tiling; Mosaic can't relayout i1 straight
+    # to bf16 (16,128)), cast for the MXU.
+    row = jax.lax.broadcasted_iota(jnp.int32, (tr, tc), 0) + t * tr
 
     def chunk_g(s):
         onehot = jnp.where(
-            jnp.broadcast_to(ids_s[s, 0:1, :], (tr, tr)) == row, 1.0, 0.0
+            jnp.broadcast_to(ids_s[s, 0:1, :], (tr, tc)) == row, 1.0, 0.0
         ).astype(jnp.bfloat16)
         parts = [
             jax.lax.dot_general(
-                scr[s], onehot, dims, preferred_element_type=jnp.float32
+                scr[s], onehot, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
             )
             for scr in g_scratch
         ]
@@ -148,7 +145,7 @@ def _adagrad_kernel(pos_ref, lr_ref, uids_ref, *rest, eps, n_chunks,
 
     g = chunk_g(slot)
 
-    # Rare path: more than tr updates landed in this tile (heavy duplicate
+    # Rare path: more than tc updates landed in this tile (heavy duplicate
     # skew) — sweep its remaining chunks sequentially through this tile's
     # own slot (the cross-tile prefetch lives in the other slot). The
     # exclusive end is pos_ref[t+1]: chunks at or past it start at ids
@@ -165,42 +162,27 @@ def _adagrad_kernel(pos_ref, lr_ref, uids_ref, *rest, eps, n_chunks,
 
     g = jax.lax.fori_loop(1, nc, body, g)
 
-    g = g[: acc_ref.shape[0], :]  # drop sublane padding (d16 -> d)
-    acc_new = acc_ref[:] + g * g
-    t_new = table_ref[:] - lr * g / (jnp.sqrt(acc_new) + eps)
-    table_out[:] = t_new
-    acc_out[:] = acc_new
-    if emit_shadow:
-        # row-major bf16 replica for the next step's gather: the master
-        # stays column-major (this kernel's fast view), but XLA's row
-        # gather against a column-major table costs ~1.6ms extra at 213k
-        # rows. Every tile is visited, so the shadow fully regenerates.
-        shadow_out[:] = jnp.swapaxes(t_new, 0, 1).astype(shadow_out.dtype)
+    def rd(ref):
+        return ref[0] if packed else ref[:]
+
+    d = table_ref.shape[-2] if packed else table_ref.shape[0]
+    g = g[:d, :]  # drop sublane padding (d16 -> d)
+    acc_new = rd(acc_ref) + g * g
+    t_new = rd(table_ref) - lr * g / (jnp.sqrt(acc_new) + eps)
+    if packed:
+        table_out[0] = t_new
+        acc_out[0] = acc_new
+    else:
+        table_out[:] = t_new
+        acc_out[:] = acc_new
 
 
-def sorted_adagrad_update(table, acc, uids, gsum, lr, eps, tr: int = TR,
-                          shadow_dtype=None):
-    """Fused Adagrad over a SORTED (duplicates allowed) update stream.
-
-    table, acc: [R, D] with R % tr == 0. uids: [N] sorted int32 — raw sorted
-    batch ids; duplicates are summed exactly by the one-hot contraction.
-    Sentinels (>= R) may pad the tail. gsum: [N, D] grads in the same order;
-    f32 grads ride a bf16 hi/lo pair (two MXU dots), bf16 grads a single
-    dot. Returns (table', acc') updated in place (donated via aliasing), or
-    (table', acc', shadow') when ``shadow_dtype`` is set — shadow' is a
-    freshly written ROW-MAJOR low-precision replica for fast gathers.
-    """
-    r, d = table.shape
-    assert r % tr == 0, (r, tr)
-    assert tr % 128 == 0, tr
-    n = uids.shape[0]
-    n_tiles = r // tr
-    n_chunks = -(-n // tr)
-    npad = n_chunks * tr
-    # pad the stream to whole chunks; pad the transposed grad buffer's
-    # sublane dim to a multiple of 16 (bf16 DMA slices need tiling-aligned
-    # sublane shapes — O(batch) cost only), then split f32 grads into the
-    # bf16 hi/lo pair (see module docstring).
+def _prep_stream(uids, gsum, tc):
+    """Pad the sorted stream to whole chunks; transpose + sublane-pad the
+    grads and split f32 into the bf16 hi/lo pair (module docstring)."""
+    n, d = gsum.shape[0], gsum.shape[1]
+    n_chunks = -(-n // tc)
+    npad = n_chunks * tc
     two_part = gsum.dtype != jnp.bfloat16
     d16 = -(-d // 16) * 16
     uids_p = jnp.concatenate(
@@ -214,76 +196,107 @@ def sorted_adagrad_update(table, acc, uids, gsum, lr, eps, tr: int = TR,
     if two_part:
         g_ops.append((gsum_t.astype(jnp.float32) - ghi.astype(jnp.float32))
                      .astype(jnp.bfloat16))
-    # Coarse chunk index: coarse[k] = first id of chunk k. With
-    # P[t] = searchsorted(coarse, t*tr, 'left'), tile t's rows can only
-    # live in chunks [max(P[t]-1, 0), P[t+1]): every chunk k <= P[t]-2 ends
-    # at coarse[k+1] < t*tr (sorted), every chunk k >= P[t+1] starts at
-    # coarse[k] >= (t+1)*tr. Over-coverage is exact — foreign ids never
-    # match the tile's one-hot.
-    coarse = uids_p[::tr]
+    return uids_p, g_ops, n_chunks, two_part, d16
+
+
+def _chunk_pos(uids_p, n_tiles, tr, tc, n_chunks):
+    """pos[t] = searchsorted(coarse, t*tr, 'left') where coarse[k] = first
+    id of chunk k. Tile t's rows can only live in chunks
+    [max(pos[t]-1, 0), pos[t+1]): every chunk k <= pos[t]-2 ends at
+    coarse[k+1] < t*tr (sorted), every chunk k >= pos[t+1] starts at
+    coarse[k] >= (t+1)*tr. Over-coverage is exact — foreign ids never match
+    the tile's one-hot."""
+    coarse = uids_p[::tc]
     bounds = (jnp.arange(n_tiles + 1, dtype=jnp.int32) * tr).astype(jnp.int32)
     if (n_tiles + 1) * n_chunks <= 16 * 2**20:
         # fully vectorized count-less-than beats both searchsorted lowerings
         # (scan serializes; method='sort' drags 4 small sort/copy ops):
         # 0.11ms vs 0.34ms at 5081 tiles x 416 chunks on v5e.
-        pos = jnp.sum(coarse[None, :] < bounds[:, None], axis=1, dtype=jnp.int32)
-    else:
-        pos = jnp.searchsorted(
-            coarse, bounds, side="left", method="sort"
-        ).astype(jnp.int32)
+        return jnp.sum(coarse[None, :] < bounds[:, None], axis=1, dtype=jnp.int32)
+    return jnp.searchsorted(coarse, bounds, side="left", method="sort").astype(jnp.int32)
 
-    n_parts = len(g_ops)
-    emit_shadow = shadow_dtype is not None
-    out_specs = [
-        pl.BlockSpec((d, tr), lambda t, *_: (0, t)),
-        pl.BlockSpec((d, tr), lambda t, *_: (0, t)),
-    ]
-    out_shape = [
-        jax.ShapeDtypeStruct((d, r), table.dtype),
-        jax.ShapeDtypeStruct((d, r), acc.dtype),
-    ]
-    if emit_shadow:
-        out_specs.append(pl.BlockSpec((tr, d), lambda t, *_: (t, 0)))
-        out_shape.append(jax.ShapeDtypeStruct((r, d), shadow_dtype))
+
+def _call_kernel(table_op, acc_op, table_spec, acc_spec, out_shape, out_specs,
+                 pos, lr, uids_p, g_ops, *, eps, n_chunks, two_part, packed,
+                 n_tiles, tc, d16):
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_tiles,),
         in_specs=[
             pl.BlockSpec((1, 1), lambda t, *_: (0, 0), memory_space=pltpu.SMEM),  # lr
-            pl.BlockSpec(memory_space=pl.ANY),  # uids (chunks DMA'd manually)
+            pl.BlockSpec(memory_space=pltpu.ANY),  # uids (chunks DMA'd manually)
         ]
-        + [pl.BlockSpec(memory_space=pl.ANY)] * n_parts  # grad bf16 part(s)
-        + [
-            pl.BlockSpec((d, tr), lambda t, *_: (0, t)),  # table^T tile
-            pl.BlockSpec((d, tr), lambda t, *_: (0, t)),  # acc^T tile
-        ],
+        + [pl.BlockSpec(memory_space=pltpu.ANY)] * len(g_ops)  # grad bf16 part(s)
+        + [table_spec, acc_spec],
         out_specs=out_specs,
-        scratch_shapes=[pltpu.VMEM((2, 1, tr), jnp.int32)]  # id chunks
-        + [pltpu.VMEM((2, d16, tr), jnp.bfloat16)] * n_parts  # grad chunks
-        + [pltpu.SemaphoreType.DMA((2, 1 + n_parts))],
+        scratch_shapes=[pltpu.VMEM((2, 1, tc), jnp.int32)]  # id chunks
+        + [pltpu.VMEM((2, d16, tc), jnp.bfloat16)] * len(g_ops)  # grad chunks
+        + [pltpu.SemaphoreType.DMA((2, 1 + len(g_ops)))],
     )
     lr_arr = jnp.asarray(lr, jnp.float32).reshape(1, 1)
-    alias_base = 3 + n_parts  # pos, lr, uids operands precede the grad parts
-    outs = pl.pallas_call(
+    alias_base = 3 + len(g_ops)  # pos, lr, uids operands precede grad parts
+    return pl.pallas_call(
         functools.partial(_adagrad_kernel, eps=eps, n_chunks=n_chunks,
-                          two_part=two_part, emit_shadow=emit_shadow),
+                          two_part=two_part, packed=packed, tc=tc),
         grid_spec=grid_spec,
-        out_shape=tuple(out_shape),
+        out_shape=out_shape,
         input_output_aliases={alias_base: 0, alias_base + 1: 1},  # in place
         interpret=_interpret(),
-    )(pos, lr_arr, uids_p.reshape(1, -1), *g_ops, table.T, acc.T)
-    if emit_shadow:
-        table2_t, acc2_t, shadow2 = outs
-        return table2_t.T, acc2_t.T, shadow2
-    table2_t, acc2_t = outs
+    )(pos, lr_arr, uids_p.reshape(1, -1), *g_ops, table_op, acc_op)
+
+
+def sorted_adagrad_update(table, acc, uids, gsum, lr, eps, tr: int = TR,
+                          tc: int = TC):
+    """Fused Adagrad over a SORTED (duplicates allowed) update stream.
+
+    table, acc: [R, D] with R % tr == 0. uids: [N] sorted int32 — raw sorted
+    batch ids; duplicates are summed exactly by the one-hot contraction.
+    Sentinels (>= R) may pad the tail. gsum: [N, D] grads in the same order;
+    f32 grads ride a bf16 hi/lo pair (two MXU dots), bf16 grads a single
+    dot. Returns (table', acc') updated in place (donated via aliasing)."""
+    r, d = table.shape
+    assert r % tr == 0, (r, tr)
+    n_tiles = r // tr
+    uids_p, g_ops, n_chunks, two_part, d16 = _prep_stream(uids, gsum, tc)
+    pos = _chunk_pos(uids_p, n_tiles, tr, tc, n_chunks)
+    spec = pl.BlockSpec((d, tr), lambda t, *_: (0, t))
+    table2_t, acc2_t = _call_kernel(
+        table.T, acc.T, spec, spec,
+        [jax.ShapeDtypeStruct((d, r), table.dtype),
+         jax.ShapeDtypeStruct((d, r), acc.dtype)],
+        [pl.BlockSpec((d, tr), lambda t, *_: (0, t)),
+         pl.BlockSpec((d, tr), lambda t, *_: (0, t))],
+        pos, lr, uids_p, g_ops, eps=eps, n_chunks=n_chunks, two_part=two_part,
+        packed=False, n_tiles=n_tiles, tc=tc, d16=d16,
+    )
     return table2_t.T, acc2_t.T
 
 
-def supported(table) -> bool:
-    """Kernel applicability: 2-D table, tile-divisible rows, real TPU (or
-    interpret mode for tests — on CPU the XLA paths are the implementation)."""
-    return (
-        table.ndim == 2
-        and table.shape[0] % TR == 0
-        and (_INTERPRET or jax.default_backend() != "cpu")
+def sorted_adagrad_update_packed(table, acc, uids, gsum, lr, eps,
+                                 tc: int = TC):
+    """``sorted_adagrad_update`` over PACKED [n_tiles, d, tr] table/acc
+    (``pallas_gather.pack``) — LocalTables' master layout, shared with the
+    sweep-gather kernel."""
+    n_tiles, d, tr = table.shape
+    uids_p, g_ops, n_chunks, two_part, d16 = _prep_stream(uids, gsum, tc)
+    pos = _chunk_pos(uids_p, n_tiles, tr, tc, n_chunks)
+    spec = pl.BlockSpec((1, d, tr), lambda t, *_: (t, 0, 0))
+    return _call_kernel(
+        table, acc, spec, spec,
+        [jax.ShapeDtypeStruct((n_tiles, d, tr), table.dtype),
+         jax.ShapeDtypeStruct((n_tiles, d, tr), acc.dtype)],
+        [pl.BlockSpec((1, d, tr), lambda t, *_: (t, 0, 0)),
+         pl.BlockSpec((1, d, tr), lambda t, *_: (t, 0, 0))],
+        pos, lr, uids_p, g_ops, eps=eps, n_chunks=n_chunks, two_part=two_part,
+        packed=True, n_tiles=n_tiles, tc=tc, d16=d16,
     )
+
+
+def supported(table) -> bool:
+    """Kernel applicability: 2-D [R, D] (tile-divisible rows) or packed 3-D
+    table, on real TPU (or interpret mode for tests — on CPU the XLA paths
+    are the implementation)."""
+    ok_shape = (table.ndim == 2 and table.shape[0] % TR == 0) or (
+        table.ndim == 3 and table.shape[-1] == TR
+    )
+    return ok_shape and (_INTERPRET or jax.default_backend() != "cpu")

@@ -335,7 +335,7 @@ def _split_fused_fwd_impl(full, emb_dim: int):
         ws_ref[:] = jnp.sum(x[:, :, emb_dim].astype(jnp.float32), axis=1,
                             keepdims=True)
 
-    return pl.pallas_call(
+    x_dm, ws = pl.pallas_call(
         kern,
         grid=(bsz // tb,),
         in_specs=[pl.BlockSpec((tb, m, dp1), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)],
@@ -349,6 +349,10 @@ def _split_fused_fwd_impl(full, emb_dim: int):
         ),
         interpret=_interpret(),
     )(full)
+    # ws must be rank-1 [B] like the reference/interpret paths: a (B, 1)
+    # wide_sum broadcast against [B] terms silently builds (B, B) logits
+    # (bug shipped in round 1's TPU bench — CPU lanes never hit this branch)
+    return x_dm, ws[:, 0]
 
 
 def _split_fused_bwd_impl(g_dm, g_ws, dtype, emb_dim: int):

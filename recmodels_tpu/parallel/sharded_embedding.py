@@ -61,14 +61,12 @@ class ShardedTables:
         axis_name: str = "data",
         capacity_factor: float = 2.0,
         local_batch_hint: int | None = None,
-        shadow_dtype=None,
     ):
         self.collections = collections
         self.sparse_opt = sparse_opt
         self.n_shards = n_shards
         self.axis_name = axis_name
         self.capacity_factor = capacity_factor
-        self.shadow_dtype = shadow_dtype
 
     # ------------------------------------------------------------ geometry
     def padded_rows(self, coll: str, group) -> int:
@@ -100,25 +98,12 @@ class ShardedTables:
         return out
 
     def init_opt(self, params) -> Dict[str, Dict[str, Any]]:
-        from recmodels_tpu.embedding import pallas_update
-
         out = {}
         for name, coll in self.collections.items():
-            out[name] = {}
-            for g in coll.groups:
-                st = self.sparse_opt.init(self.padded_rows(name, g), g.dim)
-                table = params[name][g.name]
-                # per-SHARD shadow eligibility: the update kernel runs on the
-                # local [rows/shards, dim] shard (tile-divisible by design)
-                if (
-                    self.shadow_dtype is not None
-                    and self.sparse_opt.name == "adagrad"
-                    and table.ndim == 2
-                    and self.rows_per_shard(name, g) % pallas_update.TR == 0
-                    and pallas_update.supported(table)
-                ):
-                    st["shadow"] = table.astype(self.shadow_dtype)
-                out[name][g.name] = st
+            out[name] = {
+                g.name: self.sparse_opt.init(self.padded_rows(name, g), g.dim)
+                for g in coll.groups
+            }
         return out
 
     # ------------------------------------------------------------ exchange
@@ -214,6 +199,7 @@ class ShardedTables:
         """``with_stats``: also return the total dropped-lookup (overflow)
         count, so the training loop can surface capacity misconfiguration
         instead of silently training on zero rows."""
+        del emb_opt
         out, total = {}, jnp.zeros((), jnp.int32)
         for name, coll in self.collections.items():
             out[name] = {}
@@ -221,8 +207,6 @@ class ShardedTables:
                 ids = gids[name][g.name]
                 b, ns = ids.shape
                 src = emb_params[name][g.name]
-                if emb_opt is not None:
-                    src = emb_opt[name][g.name].get("shadow", src)
                 res = self._gather_group(
                     src, ids.reshape(-1),
                     self.rows_per_shard(name, g), with_stats=with_stats,

@@ -39,13 +39,23 @@ class TrainState(NamedTuple):
 
 
 class LocalTables:
-    """Single-device / replicated table strategy: plain gather + local update."""
+    """Single-device / replicated table strategy.
+
+    ``fast_dtype=bf16`` (set by the engine for bf16-compute models with a
+    sparse-Adagrad master) switches supported groups to the Pallas
+    "kernel-native" path: the master is stored PACKED [n_tiles, d, tr]
+    (pallas_gather.pack) and lookups run the sorted sweep-gather kernel —
+    sort ids once (plan CSE-shared with the sorted-scatter update), sweep
+    the table sequentially at HBM bandwidth, un-permute with one cheap take.
+    Measured on v5e at the flagship shape: 4.10ms (XLA row gather) ->
+    ~1.1ms total for sort + sweep + unsort. Other groups keep the XLA
+    gather + 2-D update paths (bit-exact f32, any optimizer)."""
 
     def __init__(self, collections: Dict[str, EmbeddingCollection], sparse_opt: SparseOptimizer,
-                 shadow_dtype=None):
+                 fast_dtype=None):
         self.collections = collections
         self.sparse_opt = sparse_opt
-        self.shadow_dtype = shadow_dtype
+        self.fast_dtype = fast_dtype
 
     def init_params(self, rng: jax.Array) -> Dict[str, Dict[str, jnp.ndarray]]:
         out = {}
@@ -54,17 +64,28 @@ class LocalTables:
             out[name] = coll.init(sub)
         return out
 
-    def _wants_shadow(self, opt_name: str, table) -> bool:
-        """Maintain a row-major low-precision gather replica for tables the
-        Pallas update kernel sweeps anyway (see pallas_update shadow note).
-        """
-        from recmodels_tpu.embedding import pallas_update
+    def _packs(self, table) -> bool:
+        from recmodels_tpu.embedding import pallas_gather
 
         return (
-            self.shadow_dtype is not None
-            and opt_name == "adagrad"
-            and pallas_update.supported(table)
+            self.fast_dtype is not None
+            and self.sparse_opt.name == "adagrad"
+            and pallas_gather.supported(table)
         )
+
+    def pack_params(self, params) -> Dict[str, Dict[str, jnp.ndarray]]:
+        """One-time (init/restore) repack of eligible masters into the
+        kernel-native tiled layout. Called by Engine.init after any 2-D
+        init-time edits (e.g. zeroing the fused wide column)."""
+        from recmodels_tpu.embedding import pallas_gather
+
+        return {
+            name: {
+                g: pallas_gather.pack(t) if self._packs(t) else t
+                for g, t in tabs.items()
+            }
+            for name, tabs in params.items()
+        }
 
     def init_opt(self, params) -> Dict[str, Dict[str, Any]]:
         out = {}
@@ -72,25 +93,48 @@ class LocalTables:
             out[name] = {}
             for g in coll.groups:
                 st = self.sparse_opt.init(g.alloc_rows, g.dim)
-                table = params[name][g.name]
-                if self._wants_shadow(self.sparse_opt.name, table):
-                    st["shadow"] = table.astype(self.shadow_dtype)
+                if params[name][g.name].ndim == 3:  # packed master
+                    from recmodels_tpu.embedding import pallas_gather
+
+                    st = {k: pallas_gather.pack(v) for k, v in st.items()}
                 out[name][g.name] = st
         return out
+
+    def _gather_packed(self, packed, ids, dim):
+        """[B, n_g] ids -> [B, n_g, dim] bf16 rows via the sorted sweep
+        (kernel emits the sublane-padded width; the slice fuses into the
+        un-permute take)."""
+        from recmodels_tpu.embedding import pallas_gather
+
+        b, ns = ids.shape
+        flat = ids.reshape(-1)
+        n = flat.shape[0]
+        iota = jnp.arange(n, dtype=jnp.int32)
+        sorted_ids, order = jax.lax.sort_key_val(flat, iota)
+        rows_sorted = pallas_gather.sorted_gather(
+            packed, sorted_ids, out_dtype=self.fast_dtype
+        )
+        inv = jax.lax.sort_key_val(order, iota)[1]
+        return jnp.take(rows_sorted[:, :dim], inv, axis=0).reshape(b, ns, dim)
 
     def gather(self, emb_params, gids, dtype=None, emb_opt=None, with_stats=False):
         """{coll: {group: [B, n_g]}} -> {coll: {group: [B, n_g, dim]}}.
         ``with_stats``: also return an overflow counter (always 0 locally —
         replicated tables never drop lookups; parity with ShardedTables)."""
+        del emb_opt
         out = {}
         for name, coll in self.collections.items():
-            src = emb_params[name]
-            if emb_opt is not None:
-                src = {
-                    g.name: emb_opt[name][g.name].get("shadow", src[g.name])
-                    for g in coll.groups
-                }
-            out[name] = coll.gather_rows(src, gids[name], dtype)
+            res = {}
+            for g in coll.groups:
+                t = emb_params[name][g.name]
+                if t.ndim == 3:  # packed master -> Pallas sorted sweep
+                    res[g.name] = self._gather_packed(t, gids[name][g.name], g.dim)
+                    continue
+                r = t[gids[name][g.name]]
+                if dtype is not None and r.dtype != dtype:
+                    r = r.astype(dtype)  # cast fuses into the gather
+                res[g.name] = r[..., None] if g.dim == 1 else r
+            out[name] = res
         if with_stats:
             return out, jnp.zeros((), jnp.int32)
         return out
@@ -182,18 +226,19 @@ class Engine:
             # factory: (collections, sparse_opt) -> strategy (parallel/)
             self.table_strategy = self.table_strategy(self.collections, self.sparse_opt)
         # bf16-compute models get their rows gathered directly in bf16 (the
-        # cast fuses into the gather and halves its output bytes); the wide
-        # activation is upcast to f32 at the split (_forward_from_rows) so
-        # first-order sums keep f32 precision. Grads then reach the sparse
-        # optimizer in bf16 — the Pallas kernel takes them as a single exact
-        # MXU operand; XLA fallback routes upcast (optim.apply_updates).
+        # cast fuses into the gather / rides the sweep kernel's one-hot dot
+        # exactly); the wide activation is upcast to f32 at the split
+        # (_forward_from_rows) so first-order sums keep f32 precision. Grads
+        # then reach the sparse optimizer in bf16 — the Pallas kernel takes
+        # them as a single exact MXU operand; XLA fallback routes upcast
+        # (optim.apply_updates).
         self._gather_dtype = getattr(self.model, "compute_dtype", jnp.float32)
         if (
             self._gather_dtype == jnp.bfloat16
-            and getattr(self.table_strategy, "shadow_dtype", False) is None
+            and getattr(self.table_strategy, "fast_dtype", False) is None
         ):
-            # kernel-maintained row-major bf16 replica makes the gather fast
-            self.table_strategy.shadow_dtype = jnp.bfloat16
+            # packed master + Pallas sweep gather (LocalTables docstring)
+            self.table_strategy.fast_dtype = jnp.bfloat16
         if self.dense_optimizer == "adam":
             self.dense_tx = optax.adam(self.dense_lr)
         elif self.dense_optimizer == "adagrad":
@@ -213,6 +258,10 @@ class Engine:
             emb_params["emb"] = {
                 g: t.at[:, -1].set(0.0) for g, t in emb_params["emb"].items()
             }
+        if hasattr(self.table_strategy, "pack_params"):
+            # repack eligible masters into the Pallas kernels' tiled layout
+            # (after the 2-D init-time edits above)
+            emb_params = self.table_strategy.pack_params(emb_params)
         return TrainState(
             step=jnp.zeros((), jnp.int32),
             dense_params=dense_params,
@@ -262,7 +311,9 @@ class Engine:
         rows = self.table_strategy.gather(
             state.emb_params, gids, self._gather_dtype, state.emb_opt
         )
-        return self._forward_from_rows(state.dense_params, rows, dense)
+        out = self._forward_from_rows(state.dense_params, rows, dense)
+        assert out.shape == (dense.shape[0],), out.shape  # see loss_fn guard
+        return out
 
     # --------------------------------------------------------------- train
     def train_step(self, state: TrainState, dense, ids, labels):
@@ -278,6 +329,9 @@ class Engine:
 
         def loss_fn(dense_params, rows):
             logits = self._forward_from_rows(dense_params, rows, dense)
+            # trace-time guard: a (B, 1)-shaped term broadcast against [B]
+            # terms silently builds (B, B) logits (round-1 fanout-kernel bug)
+            assert logits.shape == labels.shape, (logits.shape, labels.shape)
             losses = optax.sigmoid_binary_cross_entropy(logits, labels)
             return jnp.mean(losses)
 

@@ -1,0 +1,138 @@
+"""On-chip kernel parity lane (SURVEY.md §4 item 1; VERDICT r1 item 5):
+every Pallas kernel COMPILED on the attached TPU vs its jnp reference.
+Interpret-mode tests (test_pallas_*.py) cover semantics on CPU; this lane
+guards the Mosaic lowering itself — layouts, DMA alignment, MXU precision.
+
+Run: ``RECMODELS_TPU_TESTS=1 python -m pytest tests/test_tpu_kernels.py -m tpu``
+(driver-runnable; compiles are cached in .jax_cache).
+"""
+
+import numpy as np
+import pytest
+
+pytestmark = pytest.mark.tpu
+
+jax = pytest.importorskip("jax")
+import jax.numpy as jnp  # noqa: E402
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _require_tpu():
+    if jax.default_backend() == "cpu":
+        pytest.skip("no TPU attached")
+
+
+def test_sweep_gather_compiled_exact():
+    from recmodels_tpu.embedding import pallas_gather
+
+    rng = np.random.default_rng(0)
+    rows, d, n = 512 * 64, 17, 40_000
+    table = jnp.asarray(rng.normal(size=(rows, d)).astype(np.float32))
+    packed = jax.jit(pallas_gather.pack)(table)
+    ids = np.sort(rng.integers(0, rows, size=n)).astype(np.int32)
+    out = jax.jit(pallas_gather.sorted_gather)(packed, jnp.asarray(ids))[:, :d]
+    ref = table[ids].astype(jnp.bfloat16)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+
+def test_packed_update_compiled_matches_sparse_adagrad():
+    from recmodels_tpu.embedding import pallas_gather, pallas_update
+    from recmodels_tpu.embedding.optim import dedup_segment_sum, sparse_adagrad
+
+    rng = np.random.default_rng(1)
+    rows, d, n = 512 * 16, 16, 5000
+    table = jnp.asarray(rng.normal(size=(rows, d)).astype(np.float32))
+    acc = jnp.asarray((np.abs(rng.normal(size=(rows, d))) + 0.1).astype(np.float32))
+    ids = jnp.asarray(rng.integers(0, rows, size=(n,)).astype(np.int32))
+    grads = jnp.asarray(rng.normal(size=(n, d)).astype(np.float32))
+    uids, gsum, _ = dedup_segment_sum(ids, grads, rows)
+
+    tp, ap = jax.jit(
+        lambda t, a: pallas_update.sorted_adagrad_update_packed(
+            t, a, uids, gsum, 0.05, 1e-8
+        )
+    )(pallas_gather.pack(table), pallas_gather.pack(acc))
+    t_ref, st = sparse_adagrad().apply(
+        table, {"acc": acc}, uids, gsum, jnp.asarray(0), 0.05
+    )
+    np.testing.assert_allclose(
+        np.asarray(pallas_gather.unpack(tp, d)), np.asarray(t_ref), rtol=1e-4, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(pallas_gather.unpack(ap, d)), np.asarray(st["acc"]), rtol=3e-4, atol=1e-5
+    )
+
+
+def test_update_2d_compiled_matches_sparse_adagrad():
+    from recmodels_tpu.embedding import pallas_update
+    from recmodels_tpu.embedding.optim import dedup_segment_sum, sparse_adagrad
+
+    rng = np.random.default_rng(2)
+    rows, d, n = 512 * 8, 16, 3000
+    table = jnp.asarray(rng.normal(size=(rows, d)).astype(np.float32))
+    acc = jnp.asarray((np.abs(rng.normal(size=(rows, d))) + 0.1).astype(np.float32))
+    ids = jnp.asarray(rng.integers(0, rows, size=(n,)).astype(np.int32))
+    grads = jnp.asarray(rng.normal(size=(n, d)).astype(np.float32))
+    uids, gsum, _ = dedup_segment_sum(ids, grads, rows)
+    tk, ak = jax.jit(
+        lambda t, a: pallas_update.sorted_adagrad_update(t, a, uids, gsum, 0.05, 1e-8)
+    )(table, acc)
+    t_ref, st = sparse_adagrad().apply(
+        table, {"acc": acc}, uids, gsum, jnp.asarray(0), 0.05
+    )
+    np.testing.assert_allclose(np.asarray(tk), np.asarray(t_ref), rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(ak), np.asarray(st["acc"]), rtol=3e-4, atol=1e-5)
+
+
+def test_cin_kernel_compiled_matches_reference():
+    from recmodels_tpu.ops import interactions as ref_ops
+    from recmodels_tpu.ops.pallas import interactions_tpu as ktu
+
+    rng = np.random.default_rng(3)
+    b, m, d, hk, hn = 512, 26, 16, 32, 128
+    xk = jnp.asarray(rng.normal(size=(b, hk, d)).astype(np.float32))
+    x0 = jnp.asarray(rng.normal(size=(b, m, d)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(hn, hk, m)).astype(np.float32) * 0.1)
+    out = jax.jit(ktu.cin_layer)(xk, x0, w)
+    ref = ref_ops.cin_layer(xk, x0, w)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-4)
+
+
+def test_split_fused_rows_compiled_matches_reference():
+    from recmodels_tpu.ops.pallas import interactions_tpu as ktu
+
+    rng = np.random.default_rng(4)
+    b, m, d = 512, 26, 16
+    full = jnp.asarray(rng.normal(size=(b, m, d + 1)).astype(np.float32)).astype(jnp.bfloat16)
+    x_dm, ws = jax.jit(lambda x: ktu.split_fused_rows(x, d))(full)
+    np.testing.assert_array_equal(
+        np.asarray(x_dm), np.asarray(jnp.swapaxes(full[..., :d], 1, 2))
+    )
+    np.testing.assert_allclose(
+        np.asarray(ws),
+        np.asarray(jnp.sum(full[..., d].astype(jnp.float32), axis=1)),
+        rtol=1e-6,
+    )
+
+
+def test_engine_bf16_train_step_compiled_loss_finite():
+    """One full flagship-path train step (packed master, sweep gather,
+    packed update, CIN kernels) compiled on-chip: loss finite, tables sane."""
+    from recmodels_tpu.data.schema import criteo_schema
+    from recmodels_tpu.models import build_model
+    from recmodels_tpu.train.engine import Engine
+
+    schema = criteo_schema(vocab_size=2000, embed_dim=16)
+    model = build_model("xdeepfm", schema, cin_sizes=(128, 128), hidden=(64, 64),
+                        compute_dtype=jnp.bfloat16)
+    eng = Engine(model=model, sparse_optimizer="adagrad")
+    state = eng.init(jax.random.key(0))
+    assert state.emb_params["emb"]["d17"].ndim == 3  # packed master in play
+    rng = np.random.default_rng(5)
+    b = 1024
+    dense = jnp.asarray(rng.normal(size=(b, schema.n_dense)).astype(np.float32))
+    ids = jnp.asarray(rng.integers(0, 2000, size=(b, schema.n_slots)).astype(np.int32))
+    labels = jnp.asarray(rng.integers(0, 2, size=(b,)).astype(np.float32))
+    step = eng.jit_train_step()
+    state, m = step(state, dense, ids, labels)
+    assert np.isfinite(float(m["loss"]))
