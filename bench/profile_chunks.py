@@ -40,7 +40,7 @@ acc_p = jax.jit(pallas_gather.pack)(jnp.full((ROWS, D), 0.1, jnp.float32))
 
 r = {}
 which = set(sys.argv[1].split(",")) if len(sys.argv) > 1 else None
-for tp in (128, 256):
+for tp in (128, 256, 512):
     key = f"sweep_tp{tp}_ms"
     if which and key not in which: continue
     try:
@@ -50,7 +50,7 @@ for tp in (128, 256):
         r[key] = f"FAIL: {type(e).__name__}: {str(e)[:200]}"
     print(key, r[key], flush=True)
 
-for tc in (128, 256):
+for tc in (512, 128):
     key = f"update_tc{tc}_ms"
     if which and key not in which: continue
     def upd(consts, ids, tc=tc):

@@ -56,7 +56,10 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 TR = 512  # table rows per tile — must equal pallas_update.TR (shared layout)
-TP = 512  # sorted-id positions per chunk (output block height)
+TP = 512  # sorted-id positions per chunk (output block height). With the
+# factored one-hot, bigger chunks win back (fewer boundary tiles/DMAs):
+# measured on v5e at the flagship shape: 1.52ms (tp=512) vs 1.60 (256) vs
+# 1.95 (128); the pre-factoring kernel was 3.99ms
 NBUF = 8  # tile DMA pipeline depth (hides HBM latency in the tile loop)
 
 _INTERPRET = False
@@ -116,7 +119,9 @@ def _gather_kernel(tlo_ref, thi_ref, ids_ref, table_ref, out_ref, tile_s,
             dma(w, w % NBUF).start()
 
     ids_row = ids_ref[0:1, :]  # [1, tp]
-    pos_iota = jax.lax.broadcasted_iota(jnp.int32, (tr, tp), 0)
+    row_lo = jax.lax.broadcasted_iota(jnp.int32, (128, tp), 0)
+    d = table_ref.shape[1]
+    hb = tr // 128
 
     def body(j, acc):
         @pl.when(j + NBUF - 1 < n_t)
@@ -125,23 +130,34 @@ def _gather_kernel(tlo_ref, thi_ref, ids_ref, table_ref, out_ref, tile_s,
 
         slot = j % NBUF
         dma(j, slot).wait()
-        base = (lo + j) * tr
-        # onehot[row, pos] = (ids[pos] == base + row); compare in int32
-        # layout then cast for the MXU (Mosaic can't relayout i1 -> bf16)
-        row = pos_iota + base
-        onehot = jnp.where(
-            jnp.broadcast_to(ids_row, (tr, tp)) == row, 1.0, 0.0
-        ).astype(jnp.bfloat16)
+        # FACTORED one-hot: onehot[row, pos] = 1[id_hi == row_hi] ·
+        # 1[id_lo == row_lo]. One [128, tp] low-bits one-hot selects a row
+        # from EVERY 128-row block of the tile on the MXU; the cheap [tp, d]
+        # high-bit select keeps the block the id actually lives in. ~6x
+        # less VPU than the full [tr, tp] compare (the kernel's hot spot);
+        # same MXU FLOPs. Out-of-tile ids match no block -> contribute 0.
+        local = ids_row - (lo + j) * tr  # [1, tp]
+        id_hi = local >> 7
+        ohlo = jnp.where(
+            jnp.broadcast_to(local & 127, (128, tp)) == row_lo, 1.0, 0.0
+        ).astype(jnp.bfloat16)  # [row_lo, pos]
         tile = tile_s[slot].astype(jnp.bfloat16)  # [d, tr]
-        # [pos, d] += onehot^T @ tile^T: contract the row dims
-        return acc + jax.lax.dot_general(
-            onehot, tile, (((0,), (1,)), ((), ())),
+        # every 128-row block's candidate row in ONE MXU dot: blocks stacked
+        # on sublanes ([hb·d, 128] @ [128, tp]); the cheap lane-resident
+        # id_hi select keeps the block each id actually lives in
+        stack = jnp.concatenate(
+            [tile[:, r * 128 : (r + 1) * 128] for r in range(hb)], axis=0
+        )  # [hb·d, row_lo]
+        outs = jax.lax.dot_general(
+            stack, ohlo, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )
+        )  # [hb·d, pos] transposed so the id_hi mask broadcasts, no relayout
+        for r in range(hb):
+            acc = acc + jnp.where(id_hi == r, outs[r * d : (r + 1) * d, :], 0.0)
+        return acc
 
-    d = table_ref.shape[1]
-    acc = jax.lax.fori_loop(0, n_t, body, jnp.zeros((tp, d), jnp.float32))
-    out_ref[:] = acc.astype(out_ref.dtype)
+    acc = jax.lax.fori_loop(0, n_t, body, jnp.zeros((d, tp), jnp.float32))
+    out_ref[:] = jnp.swapaxes(acc, 0, 1).astype(out_ref.dtype)
 
 
 def sorted_gather(packed, sorted_ids, out_dtype=jnp.bfloat16, tp: int = TP):

@@ -124,24 +124,36 @@ def _adagrad_kernel(pos_ref, lr_ref, uids_ref, *rest, eps, n_chunks,
     for dma in chunk_dmas(lo_t, slot):
         dma.wait()
 
-    # onehot[row, pos]: row on sublanes via iota, ids broadcast along lanes
-    # (pos) — no relayout of the id vector. Select in f32 layout (the i1
-    # mask lives in 32-bit (8,128) tiling; Mosaic can't relayout i1 straight
-    # to bf16 (16,128)), cast for the MXU.
-    row = jax.lax.broadcasted_iota(jnp.int32, (tr, tc), 0) + t * tr
+    # FACTORED one-hot (v3): onehot[row, pos] = 1[id_hi == row_hi] ·
+    # 1[id_lo == row_lo] with row = row_hi*128 + row_lo. The full [tr, tc]
+    # iota-compare was the kernel's VPU hot spot (~0.8µs of a ~1.0µs tile
+    # visit at tr=tc=512); the factored form builds one [128, tc] low-bits
+    # one-hot plus tr/128 cheap [1, tc] high-bit masks folded into the grad
+    # operand, then contracts per high-block — same MXU FLOPs, ~6x less VPU.
+    # Out-of-tile ids get a negative/large `local`, so id_hi matches no
+    # block and they drop out exactly as before. Compares run in 32-bit
+    # layout then cast (Mosaic can't relayout i1 straight to bf16).
+    hb = tr // 128
+    row_lo = jax.lax.broadcasted_iota(jnp.int32, (128, tc), 0)
 
     def chunk_g(s):
-        onehot = jnp.where(
-            jnp.broadcast_to(ids_s[s, 0:1, :], (tr, tc)) == row, 1.0, 0.0
-        ).astype(jnp.bfloat16)
-        parts = [
-            jax.lax.dot_general(
-                scr[s], onehot, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            for scr in g_scratch
-        ]
-        return sum(parts[1:], parts[0])  # [D16, tr]
+        local = ids_s[s, 0:1, :] - t * tr  # [1, tc]
+        id_hi = local >> 7
+        ohlo = jnp.where(
+            jnp.broadcast_to(local & 127, (128, tc)) == row_lo, 1.0, 0.0
+        ).astype(jnp.bfloat16)  # [128, tc]
+        blocks = []
+        for r in range(hb):
+            mask = jnp.where(id_hi == r, 1.0, 0.0).astype(jnp.bfloat16)
+            parts = [
+                jax.lax.dot_general(
+                    scr[s] * mask, ohlo, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                for scr in g_scratch
+            ]
+            blocks.append(sum(parts[1:], parts[0]))  # [D16, 128]
+        return jnp.concatenate(blocks, axis=1)  # [D16, tr]
 
     g = chunk_g(slot)
 
@@ -224,9 +236,9 @@ def _call_kernel(table_op, acc_op, table_spec, acc_spec, out_shape, out_specs,
         grid=(n_tiles,),
         in_specs=[
             pl.BlockSpec((1, 1), lambda t, *_: (0, 0), memory_space=pltpu.SMEM),  # lr
-            pl.BlockSpec(memory_space=pltpu.ANY),  # uids (chunks DMA'd manually)
+            pl.BlockSpec(memory_space=pl.ANY),  # uids (chunks DMA'd manually)
         ]
-        + [pl.BlockSpec(memory_space=pltpu.ANY)] * len(g_ops)  # grad bf16 part(s)
+        + [pl.BlockSpec(memory_space=pl.ANY)] * len(g_ops)  # grad bf16 part(s)
         + [table_spec, acc_spec],
         out_specs=out_specs,
         scratch_shapes=[pltpu.VMEM((2, 1, tc), jnp.int32)]  # id chunks
@@ -272,24 +284,150 @@ def sorted_adagrad_update(table, acc, uids, gsum, lr, eps, tr: int = TR,
     return table2_t.T, acc2_t.T
 
 
+def _factored_contract(ids_row, g_vals, tile_base, tr, tc):
+    """[d16, tr] grad segment-sum for one (chunk, tile) pair via the
+    factored one-hot (see _adagrad_kernel docstring). ids_row [1, tc];
+    g_vals: tuple of [d16, tc] bf16 operands (hi or hi+lo).
+
+    The per-high-block masked grads are STACKED on sublanes so the whole
+    tile contracts in ONE MXU dot per grad part (4 small [d16,tc]@[tc,128]
+    dots pay ~4x the invocation overhead of one [4·d16,tc]@[tc,128])."""
+    local = ids_row - tile_base  # [1, tc]
+    id_hi = local >> 7
+    hb = tr // 128
+    row_lo = jax.lax.broadcasted_iota(jnp.int32, (128, tc), 0)
+    ohlo = jnp.where(
+        jnp.broadcast_to(local & 127, (128, tc)) == row_lo, 1.0, 0.0
+    ).astype(jnp.bfloat16)
+    masks = [
+        jnp.where(id_hi == r, 1.0, 0.0).astype(jnp.bfloat16) for r in range(hb)
+    ]
+    g = None
+    for gv in g_vals:
+        d16 = gv.shape[0]
+        stack = jnp.concatenate([gv * m for m in masks], axis=0)  # [hb·d16, tc]
+        out = jax.lax.dot_general(
+            stack, ohlo, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [hb·d16, 128]
+        part = jnp.concatenate(
+            [out[r * d16 : (r + 1) * d16, :] for r in range(hb)], axis=1
+        )  # [d16, tr]
+        g = part if g is None else g + part
+    return g
+
+
+def _packed_kernel(pos_ref, lr_ref, uids_ref, *rest, eps, n_chunks, two_part,
+                   tb, tc):
+    """Packed-layout update, TB tiles per grid step.
+
+    The step's FIRST candidate chunk rides auto-pipelined blocks (ids_blk /
+    grad blks, index maps driven by the pos scalars); consecutive tiles
+    almost always share it because one tc-chunk spans ~12 tiles at the
+    flagship shape. Extra chunks (heavy duplicate skew) go through a
+    sequential manual-DMA rare path, zero iterations in the common case."""
+    n_ops = 2 if two_part else 1
+    g_hbm = rest[:n_ops]
+    g_blks = rest[n_ops : 2 * n_ops]
+    ids_blk, table_ref, acc_ref, table_out, acc_out = rest[2 * n_ops : 2 * n_ops + 5]
+    scratch = rest[2 * n_ops + 5 :]
+    ids_x, g_x, sems = scratch[0], scratch[1 : 1 + n_ops], scratch[1 + n_ops]
+    t = pl.program_id(0)
+    lr = lr_ref[0, 0]
+    tr = table_ref.shape[-1]
+    d = table_ref.shape[-2]
+    c0 = jnp.clip(pos_ref[t * tb] - 1, 0, n_chunks - 1)
+    ids_row0 = ids_blk[0:1, :]
+    g_vals0 = tuple(g[:, :] for g in g_blks)
+
+    for r in range(tb):
+        tile = t * tb + r
+        base = tile * tr
+        lo_r = jnp.clip(pos_ref[tile] - 1, 0, n_chunks - 1)
+        hi_r = pos_ref[tile + 1]
+        # common case: the tile's first candidate chunk IS the block chunk;
+        # compute unconditionally, mask if this tile starts later
+        use_blk = jnp.where(lo_r == c0, 1.0, 0.0)
+        g = _factored_contract(ids_row0, g_vals0, base, tr, tc) * use_blk
+
+        def body(ci, g_acc):
+            off = pl.multiple_of(ci * tc, 128)
+            dmas = [pltpu.make_async_copy(
+                uids_ref.at[0, pl.ds(off, tc)], ids_x.at[0, :], sems.at[0]
+            )]
+            for j, scr in enumerate(g_x):
+                dmas.append(pltpu.make_async_copy(
+                    g_hbm[j].at[:, pl.ds(off, tc)], scr, sems.at[1 + j]
+                ))
+            for dma in dmas:
+                dma.start()
+            for dma in dmas:
+                dma.wait()
+            return g_acc + _factored_contract(
+                ids_x[0:1, :], tuple(s[:, :] for s in g_x), base, tr, tc
+            )
+
+        g = jax.lax.fori_loop(jnp.maximum(lo_r, c0 + 1), hi_r, body, g)
+
+        g = g[:d, :]
+        acc_new = acc_ref[r] + g * g
+        table_out[r] = table_ref[r] - lr * g / (jnp.sqrt(acc_new) + eps)
+        acc_out[r] = acc_new
+
+
 def sorted_adagrad_update_packed(table, acc, uids, gsum, lr, eps,
-                                 tc: int = TC):
+                                 tc: int = TC, tb: int = 4):
     """``sorted_adagrad_update`` over PACKED [n_tiles, d, tr] table/acc
     (``pallas_gather.pack``) — LocalTables' master layout, shared with the
-    sweep-gather kernel."""
+    sweep-gather kernel. Processes ``tb`` tiles per grid step so the
+    auto-pipelined table/acc block copies amortize DMA latency."""
     n_tiles, d, tr = table.shape
+    while n_tiles % tb:
+        tb //= 2
     uids_p, g_ops, n_chunks, two_part, d16 = _prep_stream(uids, gsum, tc)
     pos = _chunk_pos(uids_p, n_tiles, tr, tc, n_chunks)
-    spec = pl.BlockSpec((1, d, tr), lambda t, *_: (t, 0, 0))
-    return _call_kernel(
-        table, acc, spec, spec,
-        [jax.ShapeDtypeStruct((n_tiles, d, tr), table.dtype),
-         jax.ShapeDtypeStruct((n_tiles, d, tr), acc.dtype)],
-        [pl.BlockSpec((1, d, tr), lambda t, *_: (t, 0, 0)),
-         pl.BlockSpec((1, d, tr), lambda t, *_: (t, 0, 0))],
-        pos, lr, uids_p, g_ops, eps=eps, n_chunks=n_chunks, two_part=two_part,
-        packed=True, n_tiles=n_tiles, tc=tc, d16=d16,
+
+    def c0_map(t, pos_ref):
+        return (0, jnp.clip(pos_ref[t * tb] - 1, 0, n_chunks - 1))
+
+    tile_spec = pl.BlockSpec((tb, d, tr), lambda t, *_: (t, 0, 0))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_tiles // tb,),
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda t, *_: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pl.ANY),  # uids (rare-path manual DMA)
+        ]
+        + [pl.BlockSpec(memory_space=pl.ANY)] * len(g_ops)  # grads (rare path)
+        + [pl.BlockSpec((d16, tc), c0_map)] * len(g_ops)  # grads chunk c0
+        + [
+            pl.BlockSpec((1, tc), c0_map),  # ids chunk c0
+            tile_spec,  # table tiles
+            tile_spec,  # acc tiles
+        ],
+        out_specs=[tile_spec, tile_spec],
+        scratch_shapes=[pltpu.VMEM((1, tc), jnp.int32)]
+        + [pltpu.VMEM((d16, tc), jnp.bfloat16)] * len(g_ops)
+        + [pltpu.SemaphoreType.DMA((1 + len(g_ops),))],
     )
+    lr_arr = jnp.asarray(lr, jnp.float32).reshape(1, 1)
+    n_ops = len(g_ops)
+    alias_base = 4 + 2 * n_ops  # pos, lr, uids, g_hbm*, g_blk*, ids_blk
+    outs = pl.pallas_call(
+        functools.partial(
+            _packed_kernel, eps=eps, n_chunks=n_chunks, two_part=two_part,
+            tb=tb, tc=tc,
+        ),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((n_tiles, d, tr), table.dtype),
+            jax.ShapeDtypeStruct((n_tiles, d, tr), acc.dtype),
+        ],
+        input_output_aliases={alias_base: 0, alias_base + 1: 1},
+        interpret=_interpret(),
+    )(pos, lr_arr, uids_p.reshape(1, -1), *g_ops, *g_ops,
+      uids_p.reshape(1, -1), table, acc)
+    return outs
 
 
 def supported(table) -> bool:
