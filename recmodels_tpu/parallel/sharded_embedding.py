@@ -61,12 +61,22 @@ class ShardedTables:
         axis_name: str = "data",
         capacity_factor: float = 2.0,
         local_batch_hint: int | None = None,
+        fast_dtype=None,
     ):
         self.collections = collections
         self.sparse_opt = sparse_opt
         self.n_shards = n_shards
         self.axis_name = axis_name
         self.capacity_factor = capacity_factor
+        # fast_dtype=bf16 (set by the engine for bf16-compute models with an
+        # Adagrad master, same trigger as LocalTables): eligible masters are
+        # packed [n_tiles, d8, tr] and the OWNER-side lookup/update run the
+        # Pallas sweep kernels on each shard — XLA's per-row gather/scatter
+        # is just as op-bound on a shard as on a replicated table. Packing
+        # happens on the GLOBAL table; tiles are contiguous row blocks, so
+        # sharding the tile axis (state_specs P('data') on axis 0) hands each
+        # device exactly the pack() of its row shard.
+        self.fast_dtype = fast_dtype
 
     # ------------------------------------------------------------ geometry
     def padded_rows(self, coll: str, group) -> int:
@@ -97,13 +107,40 @@ class ShardedTables:
                 out[name][g.name] = jnp.pad(tables[g.name], widths)
         return out
 
+    def _packs(self, table) -> bool:
+        from recmodels_tpu.embedding import pallas_gather
+
+        return (
+            self.fast_dtype is not None
+            and self.sparse_opt.name == "adagrad"
+            and pallas_gather.supported(table)
+        )
+
+    def pack_params(self, params) -> Dict[str, Dict[str, jnp.ndarray]]:
+        """One-time repack of eligible GLOBAL masters into the kernel-native
+        tiled layout (engine.init calls this after init-time 2-D edits;
+        per-shard rows are 1024-multiples, so the tile axis shards evenly)."""
+        from recmodels_tpu.embedding import pallas_gather
+
+        return {
+            name: {
+                g: pallas_gather.pack(t) if self._packs(t) else t
+                for g, t in tabs.items()
+            }
+            for name, tabs in params.items()
+        }
+
     def init_opt(self, params) -> Dict[str, Dict[str, Any]]:
+        from recmodels_tpu.embedding import pallas_gather
+
         out = {}
         for name, coll in self.collections.items():
-            out[name] = {
-                g.name: self.sparse_opt.init(self.padded_rows(name, g), g.dim)
-                for g in coll.groups
-            }
+            out[name] = {}
+            for g in coll.groups:
+                st = self.sparse_opt.init(self.padded_rows(name, g), g.dim)
+                if params[name][g.name].ndim == 3:  # packed master
+                    st = {k: pallas_gather.pack(v) for k, v in st.items()}
+                out[name][g.name] = st
         return out
 
     # ------------------------------------------------------------ exchange
@@ -134,7 +171,7 @@ class ShardedTables:
         return slots, send_ids, order, inv_order, overflow
 
     def _gather_group(self, table_local, ids_flat, rows_per_shard,
-                      with_stats=False, dtype=None):
+                      with_stats=False, dtype=None, dim=None):
         d = self.n_shards
         n = ids_flat.shape[0]
         one_d = table_local.ndim == 1  # dim-1 tables are stored 1-D
@@ -146,9 +183,26 @@ class ShardedTables:
         )
         my_index = jax.lax.axis_index(self.axis_name)
         local_idx = recv_ids - my_index * rows_per_shard  # sentinel stays OOB
-        rows = table_local.at[local_idx.reshape(-1)].get(mode="fill", fill_value=0.0)
-        if dtype is not None and rows.dtype != dtype:
-            rows = rows.astype(dtype)  # before hop 2: halves return-trip bytes
+        if table_local.ndim == 3:
+            # packed shard -> owner-side Pallas sorted sweep. Sentinel /
+            # unfilled slots are CLAMPED into range and gather a real row:
+            # harmless, because requesters only read back the slots they
+            # filled (overflow positions map to the OOB slot d*cap and fill
+            # zero below). bf16 rows halve hop-2 bytes like the dtype cast.
+            from recmodels_tpu.embedding import pallas_gather
+
+            flat = jnp.clip(local_idx.reshape(-1), 0, rows_per_shard - 1)
+            iota = jnp.arange(flat.shape[0], dtype=jnp.int32)
+            sidx, order2 = jax.lax.sort_key_val(flat.astype(jnp.int32), iota)
+            rows_sorted = pallas_gather.sorted_gather(
+                table_local, sidx, out_dtype=self.fast_dtype
+            )
+            inv2 = jax.lax.sort_key_val(order2, iota)[1]
+            rows = jnp.take(rows_sorted[:, :dim], inv2, axis=0)
+        else:
+            rows = table_local.at[local_idx.reshape(-1)].get(mode="fill", fill_value=0.0)
+            if dtype is not None and rows.dtype != dtype:
+                rows = rows.astype(dtype)  # before hop 2: halves return-trip bytes
         # hop 2: owner -> requester (rows)
         shape = (d, cap) if one_d else (d, cap, rows.shape[-1])
         back = jax.lax.all_to_all(
@@ -210,7 +264,7 @@ class ShardedTables:
                 res = self._gather_group(
                     src, ids.reshape(-1),
                     self.rows_per_shard(name, g), with_stats=with_stats,
-                    dtype=dtype,
+                    dtype=dtype, dim=g.dim,
                 )
                 rows, ovf = res if with_stats else (res, None)
                 out[name][g.name] = rows.reshape(b, ns, g.dim)  # 1-D groups expand here

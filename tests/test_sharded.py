@@ -203,3 +203,49 @@ def test_parallel_scan_matches_stepwise():
         s1.emb_params,
         s2.emb_params,
     )
+
+
+def test_sharded_packed_kernels_match_local_oracle(monkeypatch):
+    """bf16 models pack per-shard masters and run the Pallas sweep
+    gather/update ON EACH SHARD (interpret mode here). Must match the
+    LocalTables packed path, which the flagship bench already pins."""
+    from recmodels_tpu.embedding import pallas_gather, pallas_update
+
+    monkeypatch.setattr(pallas_gather, "_INTERPRET", True)
+    monkeypatch.setattr(pallas_update, "_INTERPRET", True)
+
+    mesh = make_mesh(8)
+    model = build_model("deepfm", SCH, hidden=(16,), compute_dtype=jnp.bfloat16)
+    eng_s = build_parallel_engine(
+        model, mesh, dense_lr=1e-2, emb_lr=5e-2, capacity_factor=4.0
+    )
+    state_s = shard_state(eng_s.init(jax.random.key(7)), mesh)
+    # the strategy must actually have taken the packed path
+    packed_tables = [
+        t
+        for groups in state_s.emb_params.values()
+        for t in groups.values()
+        if getattr(t, "ndim", 0) == 3
+    ]
+    assert packed_tables, "expected at least one packed [n_tiles, d8, tr] master"
+    train_s, _ = build_parallel_steps(eng_s, mesh, donate=False)
+
+    eng_l = Engine(model, dense_lr=1e-2, emb_lr=5e-2)
+    state_l = eng_l.init(jax.random.key(7))
+    train_l = eng_l.jit_train_step(donate=False)
+
+    for step_i in range(3):
+        dense, ids, labels = _batch(b=64, seed=40 + step_i)
+        state_s, ms = train_s(state_s, dense, ids, labels)
+        state_l, ml = train_l(state_l, dense, ids, labels)
+        np.testing.assert_allclose(float(ms["loss"]), float(ml["loss"]), rtol=1e-4)
+
+    def _rows(t, g):
+        t = np.asarray(pallas_gather.unpack(t, g.dim)) if t.ndim == 3 else np.asarray(t)
+        return t[: g.total_rows]
+
+    for cname, coll in eng_l.collections.items():
+        for g in coll.groups:
+            got = _rows(state_s.emb_params[cname][g.name], g)
+            want = _rows(state_l.emb_params[cname][g.name], g)
+            np.testing.assert_allclose(got, want, rtol=1e-2, atol=1e-4)
