@@ -102,7 +102,7 @@ def unpack(packed: jnp.ndarray, d: int | None = None) -> jnp.ndarray:
 
 # ------------------------------------------------------------------ kernel
 def _gather_kernel(tlo_ref, thi_ref, ids_ref, table_ref, out_ref, tile_s,
-                   sems, *, tr, tp):
+                   sems, *, tr, tp, n_parts):
     k = pl.program_id(0)
     lo = tlo_ref[k]  # tile of the chunk's first id
     n_t = thi_ref[k] - lo + 1  # thi: tile of the chunk's LAST id (inclusive)
@@ -141,17 +141,40 @@ def _gather_kernel(tlo_ref, thi_ref, ids_ref, table_ref, out_ref, tile_s,
         ohlo = jnp.where(
             jnp.broadcast_to(local & 127, (128, tp)) == row_lo, 1.0, 0.0
         ).astype(jnp.bfloat16)  # [row_lo, pos]
-        tile = tile_s[slot].astype(jnp.bfloat16)  # [d, tr]
+        tile = tile_s[slot]  # [d, tr]
         # every 128-row block's candidate row in ONE MXU dot: blocks stacked
         # on sublanes ([hb·d, 128] @ [128, tp]); the cheap lane-resident
         # id_hi select keeps the block each id actually lives in
         stack = jnp.concatenate(
             [tile[:, r * 128 : (r + 1) * 128] for r in range(hb)], axis=0
         )  # [hb·d, row_lo]
-        outs = jax.lax.dot_general(
-            stack, ohlo, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # [hb·d, pos] transposed so the id_hi mask broadcasts, no relayout
+        if n_parts == 1:
+            parts = [stack.astype(jnp.bfloat16)]
+        else:
+            # EXACT f32 emission: bf16 is the top 16 bits of f32, so a
+            # truncating 3-way split (mask low mantissa bits, subtract in
+            # f32 — both exact) puts x's 24 mantissa bits into 3 bf16
+            # parts with zero residual; each part-dot is an exact one-hot
+            # select, and the f32 re-sum is exact because the parts'
+            # mantissas occupy disjoint ≤8-bit windows spanning ≤24 bits.
+            # (f32 denormals below 2^-126 are not reconstructed — TPU
+            # flushes them anyway.)
+            parts, rem = [], stack
+            for i in range(n_parts - 1):
+                bits = jax.lax.bitcast_convert_type(rem, jnp.int32)
+                p32 = jax.lax.bitcast_convert_type(
+                    bits & jnp.int32(-65536), jnp.float32
+                )
+                parts.append(p32.astype(jnp.bfloat16))
+                rem = rem - p32
+            parts.append(rem.astype(jnp.bfloat16))
+        outs = None
+        for p in parts:
+            o = jax.lax.dot_general(
+                p, ohlo, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [hb·d, pos] transposed so the id_hi mask broadcasts
+            outs = o if outs is None else outs + o
         for r in range(hb):
             acc = acc + jnp.where(id_hi == r, outs[r * d : (r + 1) * d, :], 0.0)
         return acc
@@ -162,10 +185,15 @@ def _gather_kernel(tlo_ref, thi_ref, ids_ref, table_ref, out_ref, tile_s,
 
 def sorted_gather(packed, sorted_ids, out_dtype=jnp.bfloat16, tp: int = TP):
     """Gather rows at SORTED ``sorted_ids`` [N] from a ``pack``-ed table
-    [n_tiles, d, tr]. Returns [N, d] rows in ``out_dtype`` (bf16 output is
-    the exact per-value cast). ids ascending in [0, n_tiles*tr); duplicates
-    fine — each position matches exactly one one-hot row."""
+    [n_tiles, d, tr]. Returns [N, d] rows in ``out_dtype``: bf16 output is
+    the exact per-value cast; f32 output from an f32 table is BIT-EXACT
+    (3-part truncating bf16 split — see the kernel comment), so f32 models
+    see identical numerics to an XLA gather. ids ascending in
+    [0, n_tiles*tr); duplicates fine — each position matches exactly one
+    one-hot row."""
     n_tiles, d, tr = packed.shape
+    n_parts = 3 if (jnp.dtype(out_dtype).itemsize > 2
+                    and packed.dtype == jnp.float32) else 1
     n = sorted_ids.shape[0]
     n_chunks = -(-n // tp)
     npad = n_chunks * tp
@@ -193,7 +221,7 @@ def sorted_gather(packed, sorted_ids, out_dtype=jnp.bfloat16, tp: int = TP):
         ],
     )
     out = pl.pallas_call(
-        functools.partial(_gather_kernel, tr=tr, tp=tp),
+        functools.partial(_gather_kernel, tr=tr, tp=tp, n_parts=n_parts),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((npad, d), out_dtype),
         interpret=_interpret(),

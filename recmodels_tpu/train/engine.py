@@ -234,11 +234,14 @@ class Engine:
         # (optim.apply_updates).
         self._gather_dtype = getattr(self.model, "compute_dtype", jnp.float32)
         if (
-            self._gather_dtype == jnp.bfloat16
+            self._gather_dtype in (jnp.bfloat16, jnp.float32)
             and getattr(self.table_strategy, "fast_dtype", False) is None
         ):
-            # packed master + Pallas sweep gather (LocalTables docstring)
-            self.table_strategy.fast_dtype = jnp.bfloat16
+            # packed master + Pallas sweep gather (LocalTables docstring).
+            # f32 models take the exact 3-part sweep (bit-identical rows to
+            # an XLA gather — pallas_gather.sorted_gather docstring), so
+            # enabling it changes implementation, not numerics.
+            self.table_strategy.fast_dtype = self._gather_dtype
         if self.dense_optimizer == "adam":
             self.dense_tx = optax.adam(self.dense_lr)
         elif self.dense_optimizer == "adagrad":
