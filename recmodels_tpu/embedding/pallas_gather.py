@@ -151,23 +151,13 @@ def _gather_kernel(tlo_ref, thi_ref, ids_ref, table_ref, out_ref, tile_s,
         if n_parts == 1:
             parts = [stack.astype(jnp.bfloat16)]
         else:
-            # EXACT f32 emission: bf16 is the top 16 bits of f32, so a
-            # truncating 3-way split (mask low mantissa bits, subtract in
-            # f32 — both exact) puts x's 24 mantissa bits into 3 bf16
-            # parts with zero residual; each part-dot is an exact one-hot
-            # select, and the f32 re-sum is exact because the parts'
-            # mantissas occupy disjoint ≤8-bit windows spanning ≤24 bits.
-            # (f32 denormals below 2^-126 are not reconstructed — TPU
-            # flushes them anyway.)
-            parts, rem = [], stack
-            for i in range(n_parts - 1):
-                bits = jax.lax.bitcast_convert_type(rem, jnp.int32)
-                p32 = jax.lax.bitcast_convert_type(
-                    bits & jnp.int32(-65536), jnp.float32
-                )
-                parts.append(p32.astype(jnp.bfloat16))
-                rem = rem - p32
-            parts.append(rem.astype(jnp.bfloat16))
+            # EXACT f32 emission: truncating 3-way bf16 split with disjoint
+            # mantissa windows (split_exact_bf16 docstring); each part-dot
+            # is an exact one-hot select and the f32 re-sum is exact. The
+            # update kernel uses the same split on its f32 grads.
+            from recmodels_tpu.embedding.pallas_update import split_exact_bf16
+
+            parts = split_exact_bf16(stack, n_parts)
         outs = None
         for p in parts:
             o = jax.lax.dot_general(

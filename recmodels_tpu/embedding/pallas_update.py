@@ -30,10 +30,22 @@ Design (v2 — duplicate-tolerant "CSR sweep"):
      expands ids with a [tc, tr] one-hot from iota-compare, and contracts on
      the MXU; then the Adagrad elementwise math — all in VMEM, written back
      in place (input_output_aliases);
-  5. grads arrive as a bf16 hi/lo decomposition (hi + lo == f32 grad to
-     ~2^-17 rel): two single-pass bf16 MXU dots are 2.3x faster than one
-     Precision.HIGHEST f32 dot (6 passes), and DEFAULT f32 (1 truncated
-     pass) was 5e-4 off. bf16 grads (bf16-compute models) take one exact dot.
+  5. f32 grads arrive as an EXACT 3-part truncating bf16 split (the same
+     disjoint-mantissa-window construction as pallas_gather's exact-f32
+     emission: each part is a bf16 with an 8-bit slice of the 24-bit
+     mantissa, parts re-sum to the f32 grad with zero residual). Each
+     part-dot's products are exact bf16*1.0 selects accumulated in f32, so
+     a UNIQUE sorted id reproduces its f32 grad bit-exactly; duplicate ids
+     are summed in f32 in chunk-position order, which may differ from XLA's
+     segment-sum order by f32 rounding ulps (both are f32-rounded sums —
+     neither is "the" exact value). The downstream elementwise Adagrad math
+     (acc + g*g, the sqrt/divide) is additionally subject to compiler FMA
+     contraction, so outputs match the XLA path to ~1 ulp per op, not
+     bitwise. Three single-pass bf16 MXU dots still
+     beat one Precision.HIGHEST f32 dot (6 passes); the earlier 2-part
+     rounded hi/lo variant (~2^-17 rel error on g) was replaced in round 3
+     because it silently changed f32 training numerics (ADVICE.md r2 #1).
+     bf16 grads (bf16-compute models) take one exact dot.
 
 Layouts: two table layouts are accepted —
   * PACKED [n_tiles, d, tr] (``pallas_gather.pack``): tile t is a full-dims
@@ -71,15 +83,13 @@ def _interpret() -> bool:
 
 
 def _adagrad_kernel(pos_ref, lr_ref, uids_ref, *rest, eps, n_chunks,
-                    two_part, packed, tc):
-    if two_part:  # f32 grads decomposed into bf16 hi + lo halves
-        (ghi_ref, glo_ref, table_ref, acc_ref, table_out, acc_out,
-         ids_s, ghi_s, glo_s, sems) = rest
-        g_refs, g_scratch = (ghi_ref, glo_ref), (ghi_s, glo_s)
-    else:  # grads arrived bf16 — a single exact dot suffices
-        (ghi_ref, table_ref, acc_ref, table_out, acc_out,
-         ids_s, ghi_s, sems) = rest
-        g_refs, g_scratch = (ghi_ref,), (ghi_s,)
+                    n_ops, packed, tc):
+    # n_ops grad operands: 1 (grads arrived bf16 — one exact dot) or 3
+    # (f32 grads as the exact truncating bf16 split, module docstring #5)
+    g_refs = rest[:n_ops]
+    table_ref, acc_ref, table_out, acc_out, ids_s = rest[n_ops : n_ops + 5]
+    g_scratch = rest[n_ops + 5 : 2 * n_ops + 5]
+    sems = rest[2 * n_ops + 5]
     t = pl.program_id(0)
     n_t = pl.num_programs(0)
     lr = lr_ref[0, 0]
@@ -189,13 +199,31 @@ def _adagrad_kernel(pos_ref, lr_ref, uids_ref, *rest, eps, n_chunks,
         acc_out[:] = acc_new
 
 
+def split_exact_bf16(x32, n_parts: int = 3):
+    """EXACT truncating bf16 split of f32 (same construction as
+    pallas_gather's exact-f32 emission): part i takes the next 8 leading
+    mantissa bits via a bitmask truncation (exact), the f32 subtraction of
+    an exactly-representable part is exact, and after ``n_parts - 1``
+    truncations the residual's mantissa fits one bf16. Parts re-sum to x
+    with zero residual (disjoint ≤8-bit mantissa windows spanning ≤24
+    bits; f32 denormals flush on TPU anyway)."""
+    parts, rem = [], x32
+    for _ in range(n_parts - 1):
+        bits = jax.lax.bitcast_convert_type(rem, jnp.int32)
+        p32 = jax.lax.bitcast_convert_type(bits & jnp.int32(-65536), jnp.float32)
+        parts.append(p32.astype(jnp.bfloat16))
+        rem = rem - p32
+    parts.append(rem.astype(jnp.bfloat16))
+    return parts
+
+
 def _prep_stream(uids, gsum, tc):
     """Pad the sorted stream to whole chunks; transpose + sublane-pad the
-    grads and split f32 into the bf16 hi/lo pair (module docstring)."""
+    grads and split f32 into the exact 3-part bf16 decomposition (module
+    docstring #5). bf16 grads pass through as a single operand."""
     n, d = gsum.shape[0], gsum.shape[1]
     n_chunks = -(-n // tc)
     npad = n_chunks * tc
-    two_part = gsum.dtype != jnp.bfloat16
     d16 = -(-d // 16) * 16
     uids_p = jnp.concatenate(
         [uids, jnp.full((npad - n,), jnp.iinfo(jnp.int32).max, jnp.int32)]
@@ -203,12 +231,11 @@ def _prep_stream(uids, gsum, tc):
     gsum_t = jnp.concatenate([gsum, jnp.zeros((npad - n, d), gsum.dtype)]).T
     if d16 != d:
         gsum_t = jnp.pad(gsum_t, ((0, d16 - d), (0, 0)))
-    ghi = gsum_t.astype(jnp.bfloat16)
-    g_ops = [ghi]
-    if two_part:
-        g_ops.append((gsum_t.astype(jnp.float32) - ghi.astype(jnp.float32))
-                     .astype(jnp.bfloat16))
-    return uids_p, g_ops, n_chunks, two_part, d16
+    if gsum.dtype == jnp.bfloat16:
+        g_ops = [gsum_t]
+    else:
+        g_ops = split_exact_bf16(gsum_t.astype(jnp.float32))
+    return uids_p, g_ops, n_chunks, d16
 
 
 def _chunk_pos(uids_p, n_tiles, tr, tc, n_chunks):
@@ -229,7 +256,7 @@ def _chunk_pos(uids_p, n_tiles, tr, tc, n_chunks):
 
 
 def _call_kernel(table_op, acc_op, table_spec, acc_spec, out_shape, out_specs,
-                 pos, lr, uids_p, g_ops, *, eps, n_chunks, two_part, packed,
+                 pos, lr, uids_p, g_ops, *, eps, n_chunks, packed,
                  n_tiles, tc, d16):
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -249,7 +276,7 @@ def _call_kernel(table_op, acc_op, table_spec, acc_spec, out_shape, out_specs,
     alias_base = 3 + len(g_ops)  # pos, lr, uids operands precede grad parts
     return pl.pallas_call(
         functools.partial(_adagrad_kernel, eps=eps, n_chunks=n_chunks,
-                          two_part=two_part, packed=packed, tc=tc),
+                          n_ops=len(g_ops), packed=packed, tc=tc),
         grid_spec=grid_spec,
         out_shape=out_shape,
         input_output_aliases={alias_base: 0, alias_base + 1: 1},  # in place
@@ -262,14 +289,16 @@ def sorted_adagrad_update(table, acc, uids, gsum, lr, eps, tr: int = TR,
     """Fused Adagrad over a SORTED (duplicates allowed) update stream.
 
     table, acc: [R, D] with R % tr == 0. uids: [N] sorted int32 — raw sorted
-    batch ids; duplicates are summed exactly by the one-hot contraction.
+    batch ids; duplicates are summed by the one-hot contraction (f32
+    accumulation; see module docstring #5 for the exactness contract).
     Sentinels (>= R) may pad the tail. gsum: [N, D] grads in the same order;
-    f32 grads ride a bf16 hi/lo pair (two MXU dots), bf16 grads a single
-    dot. Returns (table', acc') updated in place (donated via aliasing)."""
+    f32 grads ride the exact 3-part bf16 split (three MXU dots), bf16 grads
+    a single dot. Returns (table', acc') updated in place (donated via
+    aliasing)."""
     r, d = table.shape
     assert r % tr == 0, (r, tr)
     n_tiles = r // tr
-    uids_p, g_ops, n_chunks, two_part, d16 = _prep_stream(uids, gsum, tc)
+    uids_p, g_ops, n_chunks, d16 = _prep_stream(uids, gsum, tc)
     pos = _chunk_pos(uids_p, n_tiles, tr, tc, n_chunks)
     spec = pl.BlockSpec((d, tr), lambda t, *_: (0, t))
     table2_t, acc2_t = _call_kernel(
@@ -278,7 +307,7 @@ def sorted_adagrad_update(table, acc, uids, gsum, lr, eps, tr: int = TR,
          jax.ShapeDtypeStruct((d, r), acc.dtype)],
         [pl.BlockSpec((d, tr), lambda t, *_: (0, t)),
          pl.BlockSpec((d, tr), lambda t, *_: (0, t))],
-        pos, lr, uids_p, g_ops, eps=eps, n_chunks=n_chunks, two_part=two_part,
+        pos, lr, uids_p, g_ops, eps=eps, n_chunks=n_chunks,
         packed=False, n_tiles=n_tiles, tc=tc, d16=d16,
     )
     return table2_t.T, acc2_t.T
@@ -317,7 +346,7 @@ def _factored_contract(ids_row, g_vals, tile_base, tr, tc):
     return g
 
 
-def _packed_kernel(pos_ref, lr_ref, uids_ref, *rest, eps, n_chunks, two_part,
+def _packed_kernel(pos_ref, lr_ref, uids_ref, *rest, eps, n_chunks, n_ops,
                    tb, tc):
     """Packed-layout update, TB tiles per grid step.
 
@@ -326,7 +355,6 @@ def _packed_kernel(pos_ref, lr_ref, uids_ref, *rest, eps, n_chunks, two_part,
     almost always share it because one tc-chunk spans ~12 tiles at the
     flagship shape. Extra chunks (heavy duplicate skew) go through a
     sequential manual-DMA rare path, zero iterations in the common case."""
-    n_ops = 2 if two_part else 1
     g_hbm = rest[:n_ops]
     g_blks = rest[n_ops : 2 * n_ops]
     ids_blk, table_ref, acc_ref, table_out, acc_out = rest[2 * n_ops : 2 * n_ops + 5]
@@ -384,7 +412,7 @@ def sorted_adagrad_update_packed(table, acc, uids, gsum, lr, eps,
     n_tiles, d, tr = table.shape
     while n_tiles % tb:
         tb //= 2
-    uids_p, g_ops, n_chunks, two_part, d16 = _prep_stream(uids, gsum, tc)
+    uids_p, g_ops, n_chunks, d16 = _prep_stream(uids, gsum, tc)
     pos = _chunk_pos(uids_p, n_tiles, tr, tc, n_chunks)
 
     def c0_map(t, pos_ref):
@@ -415,7 +443,7 @@ def sorted_adagrad_update_packed(table, acc, uids, gsum, lr, eps,
     alias_base = 4 + 2 * n_ops  # pos, lr, uids, g_hbm*, g_blk*, ids_blk
     outs = pl.pallas_call(
         functools.partial(
-            _packed_kernel, eps=eps, n_chunks=n_chunks, two_part=two_part,
+            _packed_kernel, eps=eps, n_chunks=n_chunks, n_ops=n_ops,
             tb=tb, tc=tc,
         ),
         grid_spec=grid_spec,

@@ -195,7 +195,11 @@ class ShardedTables:
             iota = jnp.arange(flat.shape[0], dtype=jnp.int32)
             sidx, order2 = jax.lax.sort_key_val(flat.astype(jnp.int32), iota)
             rows_sorted = pallas_gather.sorted_gather(
-                table_local, sidx, out_dtype=self.fast_dtype
+                table_local, sidx,
+                # honor the same dtype contract as the XLA branch below
+                # (callers today always pass dtype == fast_dtype; this keeps
+                # the packed branch correct for any other caller too)
+                out_dtype=dtype if dtype is not None else self.fast_dtype,
             )
             inv2 = jax.lax.sort_key_val(order2, iota)[1]
             rows = jnp.take(rows_sorted[:, :dim], inv2, axis=0)

@@ -238,9 +238,14 @@ class Engine:
             and getattr(self.table_strategy, "fast_dtype", False) is None
         ):
             # packed master + Pallas sweep gather (LocalTables docstring).
-            # f32 models take the exact 3-part sweep (bit-identical rows to
-            # an XLA gather — pallas_gather.sorted_gather docstring), so
-            # enabling it changes implementation, not numerics.
+            # f32 models take the exact 3-part sweep GATHER (bit-identical
+            # rows to an XLA gather — pallas_gather.sorted_gather docstring)
+            # and the exact 3-part-split UPDATE (pallas_update docstring
+            # #5): every f32 grad is represented exactly; the residuals vs
+            # the XLA path are the f32 summation order of duplicate-id
+            # grads and compiler FMA contraction of the elementwise Adagrad
+            # math (both ulp-scale). Verified by the FM packed-vs-XLA
+            # train-step parity test (tests/test_pallas_gather.py).
             self.table_strategy.fast_dtype = self._gather_dtype
         if self.dense_optimizer == "adam":
             self.dense_tx = optax.adam(self.dense_lr)

@@ -139,3 +139,71 @@ def test_engine_packed_train_step_matches_unpacked():
         np.testing.assert_allclose(
             np.asarray(emb_p[k]), np.asarray(emb_u[k]), rtol=2e-3, atol=2e-5
         )
+
+
+@pytest.mark.parametrize("n", [100, 512, 1337])
+def test_sweep_gather_f32_bit_exact(n):
+    """out_dtype=f32 from an f32 table: the 3-part exact emission must be
+    BIT-IDENTICAL to an XLA gather (ADVICE.md r2 #2), duplicates included."""
+    rng, table = _table()
+    packed = pallas_gather.pack(table)
+    ids = np.sort(
+        np.concatenate(
+            [
+                rng.integers(0, table.shape[0], size=n - 60),
+                np.zeros(50, np.int64),  # duplicate/skew block
+                np.full(10, table.shape[0] - 1),
+            ]
+        )
+    ).astype(np.int32)
+    out = pallas_gather.sorted_gather(
+        packed, jnp.asarray(ids), out_dtype=jnp.float32
+    )[:, : table.shape[1]]
+    assert out.dtype == jnp.float32
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(table[ids]))
+
+
+def test_engine_f32_packed_train_step_matches_unpacked():
+    """An f32 FM train step with packed tables (exact 3-part Pallas gather +
+    exact 3-part-split packed update) vs packing disabled (XLA gather + 2-D
+    kernel): identical math up to duplicate-sum order (ADVICE.md r2 #1/#2)."""
+    from recmodels_tpu.data.schema import criteo_schema
+    from recmodels_tpu.models import build_model
+    from recmodels_tpu.train.engine import Engine
+
+    schema = criteo_schema(vocab_size=1024, embed_dim=8)
+    rng = np.random.default_rng(11)
+    b = 64
+    dense = jnp.asarray(rng.normal(size=(b, schema.n_dense)).astype(np.float32))
+    ids = jnp.asarray(
+        rng.integers(0, 1024, size=(b, schema.n_slots)).astype(np.int32)
+    )
+    labels = jnp.asarray(rng.integers(0, 2, size=(b,)).astype(np.float32))
+
+    def run(fast):
+        model = build_model("fm", schema)
+        assert getattr(model, "compute_dtype", jnp.float32) == jnp.float32
+        eng = Engine(model=model, sparse_optimizer="adagrad")
+        if not fast:
+            eng.table_strategy.fast_dtype = None
+        else:
+            assert eng.table_strategy.fast_dtype == jnp.float32
+        state = eng.init(jax.random.key(0))
+        for _ in range(3):
+            state, m = eng.train_step(state, dense, ids, labels)
+        emb = {
+            k: (pallas_gather.unpack(v, 9) if v.ndim == 3 else v)
+            for k, v in state.emb_params["emb"].items()
+        }
+        return m["loss"], emb
+
+    loss_p, emb_p = run(fast=True)
+    loss_u, emb_u = run(fast=False)
+    assert emb_p.keys() == emb_u.keys() and len(emb_p) > 0
+    # forward rows are bit-exact; the update differs only in f32
+    # duplicate-sum order -> losses and tables agree to f32 ulp scale
+    np.testing.assert_allclose(float(loss_p), float(loss_u), rtol=1e-6)
+    for k in emb_p:
+        np.testing.assert_allclose(
+            np.asarray(emb_p[k]), np.asarray(emb_u[k]), rtol=1e-5, atol=1e-7
+        )

@@ -36,10 +36,15 @@ def test_kernel_matches_sparse_adagrad():
 
     opt = sparse_adagrad(eps=eps)
     t_r, st = opt.apply(table, {"acc": acc}, uids, gsum, jnp.asarray(0), lr)
-    # the kernel's bf16 hi/lo grad decomposition carries ~2^-17 relative
-    # error on g (and ~2^-16 on g^2 in the accumulator) — see pallas_update
-    np.testing.assert_allclose(np.asarray(t_k), np.asarray(t_r), rtol=1e-4, atol=1e-6)
-    np.testing.assert_allclose(np.asarray(a_k), np.asarray(st["acc"]), rtol=3e-4, atol=1e-5)
+    # uids are UNIQUE (dedup'd) -> the exact 3-part f32 grad split makes the
+    # kernel's reconstructed g bit-identical to gsum (pallas_update module
+    # docstring #5). The residual below is NOT grad error: the compiler may
+    # contract the elementwise `acc + g*g` into an FMA (single rounding) in
+    # one path and not the other — verified by reproducing the exact kernel
+    # value as fma(g, g, acc) — so the Adagrad outputs agree to ~1 ulp per
+    # elementwise op, not bitwise.
+    np.testing.assert_allclose(np.asarray(t_k), np.asarray(t_r), rtol=1e-5, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(a_k), np.asarray(st["acc"]), rtol=1e-5, atol=1e-7)
 
 
 def test_kernel_untouched_rows_unchanged():
@@ -90,8 +95,28 @@ def test_engine_route_uses_kernel_and_matches_xla_route(monkeypatch):
     monkeypatch.setattr(pallas_update, "_INTERPRET", False)
     monkeypatch.setattr(pallas_update, "supported", lambda t: False)
     t_d, s_d = apply_updates(opt, table, {"acc": acc}, ids, grads, jnp.asarray(0), 0.02)
-    # tolerance: kernel grads ride a bf16 hi/lo decomposition (~2^-17 rel)
-    np.testing.assert_allclose(np.asarray(t_k), np.asarray(t_d), rtol=1e-4, atol=1e-6)
+    # grads are exact (3-part split); the residuals are (a) the f32 summation
+    # ORDER of duplicate-id grads (kernel: chunk-position MXU accumulation;
+    # XLA: segment-sum) and (b) compiler FMA contraction of the elementwise
+    # Adagrad math (see test_kernel_matches_sparse_adagrad) — ulp-scale, not
+    # the old ~2^-17 hi/lo approximation
+    np.testing.assert_allclose(np.asarray(t_k), np.asarray(t_d), rtol=1e-5, atol=1e-7)
     np.testing.assert_allclose(
-        np.asarray(s_k["acc"]), np.asarray(s_d["acc"]), rtol=3e-4, atol=1e-5
+        np.asarray(s_k["acc"]), np.asarray(s_d["acc"]), rtol=1e-5, atol=1e-6
     )
+
+
+def test_split_exact_bf16_roundtrips_f32():
+    """The 3-part truncating split reconstructs normal f32 exactly."""
+    rng = np.random.default_rng(7)
+    x = np.concatenate(
+        [
+            rng.normal(size=1000).astype(np.float32),
+            np.asarray([0.0, -0.0, 1e-30, -1e30, np.pi], np.float32),
+            (rng.normal(size=100) * 1e20).astype(np.float32),
+        ]
+    )
+    parts = pallas_update.split_exact_bf16(jnp.asarray(x))
+    assert all(p.dtype == jnp.bfloat16 for p in parts) and len(parts) == 3
+    total = sum(p.astype(jnp.float32) for p in parts)
+    np.testing.assert_array_equal(np.asarray(total), x)
