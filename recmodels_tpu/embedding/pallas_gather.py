@@ -122,6 +122,19 @@ def _gather_kernel(tlo_ref, thi_ref, ids_ref, table_ref, out_ref, tile_s,
     row_lo = jax.lax.broadcasted_iota(jnp.int32, (128, tp), 0)
     d = table_ref.shape[1]
     hb = tr // 128
+    # FACTORED one-hot: onehot[row, pos] = 1[id_hi == row_hi] ·
+    # 1[id_lo == row_lo]. One [128, tp] low-bits one-hot selects a row
+    # from EVERY 128-row block of the tile on the MXU; the cheap [tp, d]
+    # high-bit select keeps the block the id actually lives in. ~6x
+    # less VPU than the full [tr, tp] compare (the round-2 hot spot);
+    # same MXU FLOPs. Out-of-tile ids match no block -> contribute 0.
+    # HOISTED out of the tile loop (round 3): tr % 128 == 0 makes
+    # (ids - tile_base) & 127 == ids & 127 — the low-bits one-hot is
+    # tile-INVARIANT, and rebuilding it per visited tile (~13x per chunk)
+    # was the remaining per-tile VPU hot spot.
+    ohlo = jnp.where(
+        jnp.broadcast_to(ids_row & 127, (128, tp)) == row_lo, 1.0, 0.0
+    ).astype(jnp.bfloat16)  # [row_lo, pos]
 
     def body(j, acc):
         @pl.when(j + NBUF - 1 < n_t)
@@ -130,17 +143,8 @@ def _gather_kernel(tlo_ref, thi_ref, ids_ref, table_ref, out_ref, tile_s,
 
         slot = j % NBUF
         dma(j, slot).wait()
-        # FACTORED one-hot: onehot[row, pos] = 1[id_hi == row_hi] ·
-        # 1[id_lo == row_lo]. One [128, tp] low-bits one-hot selects a row
-        # from EVERY 128-row block of the tile on the MXU; the cheap [tp, d]
-        # high-bit select keeps the block the id actually lives in. ~6x
-        # less VPU than the full [tr, tp] compare (the kernel's hot spot);
-        # same MXU FLOPs. Out-of-tile ids match no block -> contribute 0.
         local = ids_row - (lo + j) * tr  # [1, tp]
         id_hi = local >> 7
-        ohlo = jnp.where(
-            jnp.broadcast_to(local & 127, (128, tp)) == row_lo, 1.0, 0.0
-        ).astype(jnp.bfloat16)  # [row_lo, pos]
         tile = tile_s[slot]  # [d, tr]
         # every 128-row block's candidate row in ONE MXU dot: blocks stacked
         # on sublanes ([hb·d, 128] @ [128, tp]); the cheap lane-resident
@@ -182,6 +186,7 @@ def sorted_gather(packed, sorted_ids, out_dtype=jnp.bfloat16, tp: int = TP):
     [0, n_tiles*tr); duplicates fine — each position matches exactly one
     one-hot row."""
     n_tiles, d, tr = packed.shape
+    assert tr % 128 == 0, tr  # the hoisted low-bits one-hot relies on it
     n_parts = 3 if (jnp.dtype(out_dtype).itemsize > 2
                     and packed.dtype == jnp.float32) else 1
     n = sorted_ids.shape[0]

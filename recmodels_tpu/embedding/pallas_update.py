@@ -138,20 +138,18 @@ def _adagrad_kernel(pos_ref, lr_ref, uids_ref, *rest, eps, n_chunks,
     # 1[id_lo == row_lo] with row = row_hi*128 + row_lo. The full [tr, tc]
     # iota-compare was the kernel's VPU hot spot (~0.8µs of a ~1.0µs tile
     # visit at tr=tc=512); the factored form builds one [128, tc] low-bits
-    # one-hot plus tr/128 cheap [1, tc] high-bit masks folded into the grad
-    # operand, then contracts per high-block — same MXU FLOPs, ~6x less VPU.
-    # Out-of-tile ids get a negative/large `local`, so id_hi matches no
-    # block and they drop out exactly as before. Compares run in 32-bit
-    # layout then cast (Mosaic can't relayout i1 straight to bf16).
+    # one-hot (tile-invariant — _chunk_ohlo) plus tr/128 cheap [1, tc]
+    # high-bit masks folded into the grad operand, then contracts per
+    # high-block — same MXU FLOPs, ~6x less VPU. Out-of-tile ids get a
+    # negative/large `local`, so id_hi matches no block and they drop out
+    # exactly as before. Compares run in 32-bit layout then cast (Mosaic
+    # can't relayout i1 straight to bf16).
     hb = tr // 128
-    row_lo = jax.lax.broadcasted_iota(jnp.int32, (128, tc), 0)
 
     def chunk_g(s):
         local = ids_s[s, 0:1, :] - t * tr  # [1, tc]
         id_hi = local >> 7
-        ohlo = jnp.where(
-            jnp.broadcast_to(local & 127, (128, tc)) == row_lo, 1.0, 0.0
-        ).astype(jnp.bfloat16)  # [128, tc]
+        ohlo = _chunk_ohlo(ids_s[s, 0:1, :], tc)  # [128, tc]
         blocks = []
         for r in range(hb):
             mask = jnp.where(id_hi == r, 1.0, 0.0).astype(jnp.bfloat16)
@@ -313,10 +311,23 @@ def sorted_adagrad_update(table, acc, uids, gsum, lr, eps, tr: int = TR,
     return table2_t.T, acc2_t.T
 
 
-def _factored_contract(ids_row, g_vals, tile_base, tr, tc):
+def _chunk_ohlo(ids_row, tc):
+    """[128, tc] low-bits one-hot for one chunk — TILE-invariant
+    (tr % 128 == 0 makes (ids - tile_base) & 127 == ids & 127), so callers
+    build it ONCE per chunk and share it across every tile the chunk
+    touches (rebuilding it per (chunk, tile) visit was the round-2 kernel's
+    VPU hot spot)."""
+    row_lo = jax.lax.broadcasted_iota(jnp.int32, (128, tc), 0)
+    return jnp.where(
+        jnp.broadcast_to(ids_row & 127, (128, tc)) == row_lo, 1.0, 0.0
+    ).astype(jnp.bfloat16)
+
+
+def _factored_contract(ids_row, g_vals, tile_base, tr, tc, ohlo):
     """[d16, tr] grad segment-sum for one (chunk, tile) pair via the
     factored one-hot (see _adagrad_kernel docstring). ids_row [1, tc];
-    g_vals: tuple of [d16, tc] bf16 operands (hi or hi+lo).
+    g_vals: tuple of [d16, tc] bf16 operands (hi or hi+lo); ohlo the
+    chunk's precomputed ``_chunk_ohlo``.
 
     The per-high-block masked grads are STACKED on sublanes so the whole
     tile contracts in ONE MXU dot per grad part (4 small [d16,tc]@[tc,128]
@@ -324,10 +335,6 @@ def _factored_contract(ids_row, g_vals, tile_base, tr, tc):
     local = ids_row - tile_base  # [1, tc]
     id_hi = local >> 7
     hb = tr // 128
-    row_lo = jax.lax.broadcasted_iota(jnp.int32, (128, tc), 0)
-    ohlo = jnp.where(
-        jnp.broadcast_to(local & 127, (128, tc)) == row_lo, 1.0, 0.0
-    ).astype(jnp.bfloat16)
     masks = [
         jnp.where(id_hi == r, 1.0, 0.0).astype(jnp.bfloat16) for r in range(hb)
     ]
@@ -367,6 +374,7 @@ def _packed_kernel(pos_ref, lr_ref, uids_ref, *rest, eps, n_chunks, n_ops,
     c0 = jnp.clip(pos_ref[t * tb] - 1, 0, n_chunks - 1)
     ids_row0 = ids_blk[0:1, :]
     g_vals0 = tuple(g[:, :] for g in g_blks)
+    ohlo0 = _chunk_ohlo(ids_row0, tc)  # shared by every tile of this step
 
     for r in range(tb):
         tile = t * tb + r
@@ -376,7 +384,7 @@ def _packed_kernel(pos_ref, lr_ref, uids_ref, *rest, eps, n_chunks, n_ops,
         # common case: the tile's first candidate chunk IS the block chunk;
         # compute unconditionally, mask if this tile starts later
         use_blk = jnp.where(lo_r == c0, 1.0, 0.0)
-        g = _factored_contract(ids_row0, g_vals0, base, tr, tc) * use_blk
+        g = _factored_contract(ids_row0, g_vals0, base, tr, tc, ohlo0) * use_blk
 
         def body(ci, g_acc):
             off = pl.multiple_of(ci * tc, 128)
@@ -391,8 +399,10 @@ def _packed_kernel(pos_ref, lr_ref, uids_ref, *rest, eps, n_chunks, n_ops,
                 dma.start()
             for dma in dmas:
                 dma.wait()
+            ids_r = ids_x[0:1, :]
             return g_acc + _factored_contract(
-                ids_x[0:1, :], tuple(s[:, :] for s in g_x), base, tr, tc
+                ids_r, tuple(s[:, :] for s in g_x), base, tr, tc,
+                _chunk_ohlo(ids_r, tc),
             )
 
         g = jax.lax.fori_loop(jnp.maximum(lo_r, c0 + 1), hi_r, body, g)

@@ -43,16 +43,27 @@ class XDeepFMModel(CTRModel):
     def init_dense(self, rng: jax.Array):
         m = self.schema.n_slots
         keys = jax.random.split(rng, len(self.cin_sizes) + 3)
-        # NOTE: tried storing these flat [H_next, H_prev*m] to speed the
-        # dense Adam update's awkward {1,0,2} layout — the reshape at use
-        # poisoned the backward einsum layouts instead (543k -> 422k ex/s).
-        # 3-D storage stays.
+        # CIN weights are STORED in the kernel-native flat layout
+        # [H_prev, m*H_next] (ops.interactions.flatten_cin_w): both the
+        # forward and backward Pallas kernels consume it directly, so the
+        # train step contains ZERO weight transposes. (Round 2 stored 3-D
+        # [H_next, H_prev, m] and the per-step layout conversions showed up
+        # as multi-ms async-DMA slice chains in the xplane trace. A round-1
+        # experiment that reshaped a flat param back to 3-D at use poisoned
+        # the einsum layouts — resolved now by making every consumer
+        # flat-native instead of reshaping.) RNG draws are unchanged — the
+        # same 3-D normal is drawn then flattened, so fixed-seed goldens
+        # are unaffected.
         cin_w = []
         h_prev = m
         for i, h_next in enumerate(self.cin_sizes):
+            from recmodels_tpu.ops.interactions import flatten_cin_w
+
             cin_w.append(
-                jax.random.normal(keys[i], (h_next, h_prev, m), jnp.float32)
-                * jnp.sqrt(2.0 / (h_prev * m))
+                flatten_cin_w(
+                    jax.random.normal(keys[i], (h_next, h_prev, m), jnp.float32)
+                    * jnp.sqrt(2.0 / (h_prev * m))
+                )
             )
             h_prev = h_next
         p_dim = sum(self.cin_sizes)
@@ -80,7 +91,7 @@ class XDeepFMModel(CTRModel):
         x_dm, wide_sum = get_op("split_fused_rows")(
             full.astype(self.compute_dtype), self.schema.max_dim
         )
-        p = get_op("cin_stack_dm")(
+        p = get_op("cin_stack_dm_flat")(
             x_dm, self._cin_ws(params, self.compute_dtype)
         ).astype(jnp.float32)
         y_lin = wide_sum + dense @ params["w_dense"]
@@ -91,7 +102,7 @@ class XDeepFMModel(CTRModel):
         return params["bias"] + y_lin + p @ params["w_cin"] + y_dnn
 
     def apply(self, params, dense: jnp.ndarray, emb: EmbActivations) -> jnp.ndarray:
-        cin_stack = get_op("cin_stack")
+        cin_stack = get_op("cin_stack_flat")
         x0 = emb["emb"]  # [B, m, D]
         if self.compute_dtype != jnp.float32:
             # CIN on the MXU in bf16 (f32 accumulation via

@@ -27,6 +27,8 @@ _REFERENCE: Dict[str, Callable] = {
     "cin_layer": interactions.cin_layer,
     "cin_stack": interactions.cin_stack,
     "cin_stack_dm": interactions.cin_stack_dm,
+    "cin_stack_flat": interactions.cin_stack_flat,
+    "cin_stack_dm_flat": interactions.cin_stack_dm_flat,
     "split_fused_rows": interactions.split_fused_rows,
 }
 

@@ -109,6 +109,39 @@ def cin_stack_dm(x0_dm: jnp.ndarray, ws) -> jnp.ndarray:
     return cin_stack(jnp.swapaxes(x0_dm, 1, 2), ws)
 
 
+# --------------------------------------------- flat (kernel-native) weights
+# The Pallas CIN kernels consume w as FLAT 2-D [H_k, m*H_next] with column
+# (i*H_next + n) = w[n, h, i]. Storing the parameter in this layout removes
+# ALL per-step weight transposes from the train step: the round-2 xplane
+# trace showed the [Hn, Hk, m] <-> kernel-layout conversions inside the scan
+# costing ~2-7ms/step of async DMA (dynamic-slice chunks of the weight) —
+# more than the CIN matmuls themselves.
+
+
+def flatten_cin_w(w: jnp.ndarray) -> jnp.ndarray:
+    """[H_next, H_k, m] -> kernel-native flat [H_k, m*H_next]."""
+    hn, hk, m = w.shape
+    return jnp.transpose(w, (1, 2, 0)).reshape(hk, m * hn)
+
+
+def unflatten_cin_w(w2: jnp.ndarray, m: int) -> jnp.ndarray:
+    """Inverse of ``flatten_cin_w``: [H_k, m*H_next] -> [H_next, H_k, m]."""
+    hk = w2.shape[0]
+    hn = w2.shape[1] // m
+    return jnp.transpose(w2.reshape(hk, m, hn), (2, 0, 1))
+
+
+def cin_stack_flat(x0: jnp.ndarray, w2s) -> jnp.ndarray:
+    """``cin_stack`` with flat kernel-native weights [H_k, m*H_next]."""
+    m = x0.shape[1]
+    return cin_stack(x0, [unflatten_cin_w(w2, m) for w2 in w2s])
+
+
+def cin_stack_dm_flat(x0_dm: jnp.ndarray, w2s) -> jnp.ndarray:
+    """``cin_stack_dm`` with flat kernel-native weights."""
+    return cin_stack_flat(jnp.swapaxes(x0_dm, 1, 2), w2s)
+
+
 def split_fused_rows(full: jnp.ndarray, emb_dim: int):
     """Fanout for wide-fused rows [B, m, D+1] -> (x_dm [B, D, m],
     wide_sum [B] f32): the embedding vectors transposed to D-major plus the

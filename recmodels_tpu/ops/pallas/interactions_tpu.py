@@ -231,21 +231,23 @@ def _cin_kernel(xk_ref, x0_ref, w2_ref, out_ref, *, m: int, hn: int):
     out_ref[:] = acc.astype(out_ref.dtype)
 
 
-def _cin_forward_2d(xk2, x02, w):
-    """Rows r = (b, d): xk2 [R, Hk], x02 [R, m], w [Hn, Hk, m] -> out [R, Hn]."""
+def _cin_forward_2d(xk2, x02, w2):
+    """Rows r = (b, d): xk2 [R, Hk], x02 [R, m], w2 FLAT [Hk, m*Hn]
+    (``interactions.flatten_cin_w`` layout — the parameter is STORED this
+    way so no per-step weight transpose exists) -> out [R, Hn]."""
     rows, hk = xk2.shape
     m = x02.shape[1]
-    hn = w.shape[0]
+    hn = w2.shape[1] // m
     # kernel requires lane-aligned Hn slices on real hardware
     aligned = hn % 128 == 0 or _interpret()
     tr = 256
     while (tr * m * hn + tr * hk + hk * m * hn) * 4 > 10 * 2**20 and tr > 8:
         tr //= 2
     if rows % tr or not aligned:
-        # reference path (jnp): z[r,h,i] contracted with w
-        t = jnp.einsum("rh,nhi->rni", xk2, w, preferred_element_type=jnp.float32)
-        return jnp.einsum("rni,ri->rn", t, x02.astype(t.dtype)).astype(xk2.dtype)
-    w2 = jnp.transpose(w, (1, 2, 0)).reshape(hk, m * hn)  # [Hk, m*Hn]
+        # reference path (jnp): w3[h,i,n] is a FREE reshape of w2
+        w3 = w2.reshape(hk, m, hn)
+        t = jnp.einsum("rh,hin->rin", xk2, w3, preferred_element_type=jnp.float32)
+        return jnp.einsum("rin,ri->rn", t, x02.astype(t.dtype)).astype(xk2.dtype)
     return pl.pallas_call(
         functools.partial(_cin_kernel, m=m, hn=hn),
         grid=(rows // tr,),
@@ -269,50 +271,207 @@ def _cin_2d_fwd(xk2, x02, w):
     return _cin_forward_2d(xk2, x02, w), (xk2, x02, w)
 
 
+def _cin_bwd_kernel(g_ref, xk_ref, x0_ref, w2_ref, ones_ref,
+                    gxk_ref, gx0_ref, gw_ref, wp_s, gw_s, *, m: int, hn: int):
+    """All three CIN cotangents from ONE row tile, VMEM-resident, consuming
+    the SAME flat weight layout w2 [Hk, m*Hn] the forward kernel uses (so
+    no weight transpose exists anywhere in the step — the round-2 trace
+    showed those transposes costing more async-DMA time than the matmuls).
+
+    Per i (m-unrolled; w2_i = w2[:, i*Hn:(i+1)*Hn], an [Hk, Hn] slice):
+      t1_i[r,h] = Σ_n g[r,n]·w2_i[h,n]           (NT dot on the MXU)
+      gxk      += t1_i · x0[:, i]                 (VPU fma, f32 acc)
+      q_i       = t1_i · xk                       (for gx0, see below)
+      gw2[:, i·Hn:(i+1)·Hn] += (xk·x0_i)ᵀ @ g     (row-contraction dot,
+                                                   accumulated in VMEM
+                                                   SCRATCH across the grid,
+                                                   written to HBM once on
+                                                   the last step — a
+                                                   constant-index output
+                                                   block would round-trip
+                                                   1.7MB × n_steps of HBM)
+    then gx0 = concat(q_i) @ ONES with the constant block-ones matrix
+    ONES[(i,h), j] = 1[i == j] (one dot replaces m per-lane row reductions).
+    In XLA-einsum form the shared projection t1 is a [R, m·Hk] = 872MB HBM
+    intermediate at the flagship shape — here it never leaves VMEM.
+    """
+    g = g_ref[:]  # [tr, Hn] bf16
+    xk = xk_ref[:]  # [tr, Hk] bf16
+    x0 = x0_ref[:]  # [tr, m] bf16
+    step = pl.program_id(0)
+    first = step == 0
+
+    # Build wp[(i·Hk+h), n] = w2[h, i·Hn+n] ONCE, in VMEM (sublane concat of
+    # the w2 lane-slices). Doing this permute in XLA instead lowered as a
+    # {1,0}->{0,1} relayout + chunked strided copies — 2.5ms/step of async
+    # DMA on a 1.7MB weight, the exact pathology this kernel exists to kill.
+    @pl.when(first)
+    def _():
+        wp_s[:] = jnp.concatenate(
+            [w2_ref[:, i * hn : (i + 1) * hn] for i in range(m)], axis=0
+        )
+
+    # ONE NT dot for the whole projection (52 per-i [tr,128] dots measured
+    # ~21% MXU efficiency; this shape is [tr,Hn]x[m·Hk,Hn]ᵀ — full tiles)
+    t1 = jax.lax.dot_general(
+        g, wp_s[:], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(jnp.bfloat16)  # [tr, m·Hk], col (i·Hk + h)
+    gxk = None
+    q_parts = []
+    z_parts = []
+    hk = xk.shape[1]
+    for i in range(m):
+        t1_i = t1[:, i * hk : (i + 1) * hk]
+        x0_i = x0[:, i : i + 1]
+        contrib = t1_i.astype(jnp.float32) * x0_i.astype(jnp.float32)
+        gxk = contrib if gxk is None else gxk + contrib
+        q_parts.append(t1_i * xk)
+        z_parts.append(xk * x0_i)
+    gxk_ref[:] = gxk.astype(gxk_ref.dtype)
+    q = jnp.concatenate(q_parts, axis=1)  # [tr, m·Hk] bf16
+    gx0_ref[:] = jnp.dot(
+        q, ones_ref[:], preferred_element_type=jnp.float32
+    ).astype(gx0_ref.dtype)
+    z = jnp.concatenate(z_parts, axis=1)  # [tr, m·Hk] bf16
+    gw_step = jax.lax.dot_general(
+        z, g, (((0,), (0,)), ((), ())),  # row contraction: zᵀ @ g
+        preferred_element_type=jnp.float32,
+    )  # [m·Hk, Hn]
+
+    @pl.when(first)
+    def _():
+        gw_s[:] = gw_step
+
+    @pl.when(jnp.logical_not(first))
+    def _():
+        gw_s[:] += gw_step
+
+    # emit gw DIRECTLY in the flat parameter layout (lane concat in VMEM,
+    # once per call) — the XLA-side un-permute had the same relayout cost
+    # as the wp permute above
+    @pl.when(step == pl.num_programs(0) - 1)
+    def _():
+        hk = xk.shape[1]
+        gw_ref[:] = jnp.concatenate(
+            [gw_s[i * hk : (i + 1) * hk, :] for i in range(m)], axis=1
+        )
+
+
+BWD_TR = 256  # rows per CIN-backward tile (512 exceeds the 16MB VMEM budget)
+
+
+def _cin_bwd_pallas(xk2, x02, w2, g):
+    rows, hk = xk2.shape
+    m = x02.shape[1]
+    hn = w2.shape[1] // m
+    tr = BWD_TR
+    # block-ones ONES[(i,h), j] = 1[i == j] (constant; folded by XLA)
+    ones_blk = jnp.repeat(jnp.eye(m, dtype=jnp.bfloat16), hk, axis=0)
+    gxk, gx0, gw2 = pl.pallas_call(
+        functools.partial(_cin_bwd_kernel, m=m, hn=hn),
+        grid=(rows // tr,),
+        in_specs=[
+            pl.BlockSpec((tr, hn), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tr, hk), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tr, m), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((hk, m * hn), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((m * hk, m), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((tr, hk), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tr, m), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((hk, m * hn), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((rows, hk), xk2.dtype),
+            jax.ShapeDtypeStruct((rows, m), x02.dtype),
+            jax.ShapeDtypeStruct((hk, m * hn), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((m * hk, hn), jnp.bfloat16),  # wp (permuted weight)
+            pltpu.VMEM((m * hk, hn), jnp.float32),  # gw accumulator
+        ],
+        interpret=_interpret(),
+    )(g, xk2, x02, w2, ones_blk)
+    return gxk, gx0, gw2.astype(w2.dtype)
+
+
 def _cin_2d_bwd(res, g):
-    # Flat-row einsums keep every operand {1,0} row-major — the earlier
-    # batched (b, d, ...) forms made XLA materialize [Hn, m, B, D]
-    # transposes (~1.3ms each at b=8192). NOTE: do not hoist the shared
-    # g @ W projection out of the einsums — at CIN(128,128) it is a
-    # [R, m*Hk] = 872MB intermediate, and letting XLA pick its own
-    # contraction order measured 4.5ms/step faster than materializing it.
-    xk2, x02, w = res  # [R,Hk], [R,m], [Hn,Hk,m]; g [R,Hn]
-    gxk = jnp.einsum("rn,nhi,ri->rh", g, w, x02)
-    gx0 = jnp.einsum("rn,nhi,rh->ri", g, w, xk2)
-    gw = jnp.einsum("rn,rh,ri->nhi", g, xk2, x02)
-    return gxk, gx0, gw
+    xk2, x02, w2 = res  # [R,Hk], [R,m], flat [Hk, m*Hn]; g [R,Hn]
+    rows, hk = xk2.shape
+    m = x02.shape[1]
+    hn = w2.shape[1] // m
+    # Fused Pallas backward when the layer is MXU-aligned (CIN layers 2+ at
+    # the flagship CIN(128,128) config): the shared g@W projection stays in
+    # VMEM instead of becoming an 872MB HBM einsum intermediate, and gw is
+    # emitted directly in the flat parameter layout.
+    import os as _os
+    # The fused Pallas backward (one VMEM-resident projection shared by all
+    # three cotangents) measured 2.53ms vs ~2.4ms effective for the einsum
+    # path on v5e at the flagship shape — XLA's contraction scheduling is
+    # already competitive once the weights are stored flat, so the einsums
+    # stay the default and the kernel remains an opt-in
+    # (RECMODELS_CIN_BWD_KERNEL=1) covered by the same parity tests.
+    if (hk % 128 == 0 and hn % 128 == 0 and m <= 128 and rows % BWD_TR == 0
+            and xk2.dtype == jnp.bfloat16
+            and _os.environ.get("RECMODELS_CIN_BWD_KERNEL")):
+        return _cin_bwd_pallas(xk2, x02, w2, g)
+    # einsum path (also: layer 1's Hk = m = 26, misaligned lanes). w3[h,i,n]
+    # is a FREE reshape of the flat parameter — every einsum below is
+    # expressed against it so NO weight transpose is ever materialized.
+    w3 = w2.reshape(hk, m, hn)
+    gxk = jnp.einsum("rn,hin,ri->rh", g, w3, x02)
+    gx0 = jnp.einsum("rn,hin,rh->ri", g, w3, xk2)
+    gw3 = jnp.einsum("rn,rh,ri->hin", g, xk2, x02)
+    return gxk, gx0, gw3.reshape(hk, m * hn).astype(w2.dtype)
 
 
 _cin_layer_2d.defvjp(_cin_2d_fwd, _cin_2d_bwd)
 
 
 def cin_layer(xk, x0, w):
-    """Dispatch-compatible wrapper: H-major in/out ([B,Hk,D] etc.)."""
+    """Dispatch-compatible wrapper: H-major in/out ([B,Hk,D] etc.),
+    reference 3-D weight [Hn, Hk, m] (flattened at call — compat/test path,
+    not the flagship training path)."""
     b, hk, d = xk.shape
     m = x0.shape[1]
     xk2 = transpose_minor2(xk).reshape(b * d, hk)
     x02 = transpose_minor2(x0).reshape(b * d, m)
-    out2 = _cin_layer_2d(xk2, x02, w)
+    out2 = _cin_layer_2d(xk2, x02, ref.flatten_cin_w(w))
     return transpose_minor2(out2.reshape(b, d, w.shape[0]))
 
 
-def cin_stack_dm(x0_dm, ws):
-    """CIN from an already-D-major field matrix: x0_dm [B, D, m], ws list
-    of [H_next, H_prev, m] -> pools concat [B, sum(H)]. Zero transposes."""
+def cin_stack_dm_flat(x0_dm, w2s):
+    """CIN from an already-D-major field matrix with FLAT kernel-native
+    weights: x0_dm [B, D, m], w2s list of [H_prev, m*H_next] -> pools
+    concat [B, sum(H)]. Zero transposes of activations OR weights."""
     b, d, m = x0_dm.shape
     x02 = x0_dm.reshape(b * d, m)
     xk2 = x02
     pools = []
-    for w in ws:
-        xk2 = _cin_layer_2d(xk2, x02, w)
-        pools.append(jnp.sum(xk2.reshape(b, d, w.shape[0]), axis=1))
+    for w2 in w2s:
+        hn = w2.shape[1] // m
+        xk2 = _cin_layer_2d(xk2, x02, w2)
+        pools.append(jnp.sum(xk2.reshape(b, d, hn), axis=1))
     return jnp.concatenate(pools, axis=1)
 
 
+def cin_stack_flat(x0, w2s):
+    """``cin_stack`` with flat weights: x0 [B, m, D] H-major in."""
+    return cin_stack_dm_flat(transpose_minor2(x0), w2s)
+
+
+def cin_stack_dm(x0_dm, ws):
+    """CIN from a D-major field matrix, reference 3-D weights (flattened at
+    call — compat path)."""
+    return cin_stack_dm_flat(x0_dm, [ref.flatten_cin_w(w) for w in ws])
+
+
 def cin_stack(x0, ws):
-    """Whole CIN on flat (b, d) rows: x0 [B, m, D], ws list of
-    [H_next, H_prev, m] -> pools concat [B, sum(H)]. One Pallas VMEM
-    transpose in, zero out (pools reduce over D)."""
+    """Whole CIN on flat (b, d) rows: x0 [B, m, D], reference 3-D weights
+    (flattened at call — compat path). One Pallas VMEM transpose in, zero
+    out (pools reduce over D)."""
     return cin_stack_dm(transpose_minor2(x0), ws)
 
 
@@ -432,5 +591,7 @@ KERNELS = {
 FUSED = {
     "cin_stack": cin_stack,
     "cin_stack_dm": cin_stack_dm,
+    "cin_stack_flat": cin_stack_flat,
+    "cin_stack_dm_flat": cin_stack_dm_flat,
     "split_fused_rows": split_fused_rows,
 }

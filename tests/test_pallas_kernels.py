@@ -115,3 +115,62 @@ def test_models_agree_reference_vs_kernel_dispatch():
         finally:
             dispatch._pallas_enabled = prev
         np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-4)
+
+
+def test_cin_bwd_pallas_matches_einsums():
+    """The fused Pallas CIN backward (aligned bf16 layers, FLAT kernel-native
+    weights) vs the einsum reference cotangents — all three of gxk / gx0 /
+    gw, duplicate of the exact dispatch condition in
+    interactions_tpu._cin_2d_bwd."""
+    rows, hk, m, hn = 512, 128, 26, 128
+    r = np.random.default_rng(11)
+    xk2 = jnp.asarray(r.normal(size=(rows, hk)).astype(np.float32)).astype(jnp.bfloat16)
+    x02 = jnp.asarray(r.normal(size=(rows, m)).astype(np.float32)).astype(jnp.bfloat16)
+    w = jnp.asarray((r.normal(size=(hn, hk, m)) * 0.1).astype(np.float32)).astype(jnp.bfloat16)
+    g = jnp.asarray(r.normal(size=(rows, hn)).astype(np.float32)).astype(jnp.bfloat16)
+    w2 = ref.flatten_cin_w(w)
+
+    got = ker._cin_bwd_pallas(xk2, x02, w2, g)
+    want = (
+        jnp.einsum("rn,nhi,ri->rh", g, w, x02),
+        jnp.einsum("rn,nhi,rh->ri", g, w, xk2),
+        ref.flatten_cin_w(jnp.einsum("rn,rh,ri->nhi", g, xk2, x02)),
+    )
+    for a, b in zip(got, want):
+        assert a.dtype == b.dtype, (a.dtype, b.dtype)
+        np.testing.assert_allclose(
+            np.asarray(a, np.float32), np.asarray(b, np.float32),
+            rtol=0.05, atol=0.3,  # bf16 summation-order differences
+        )
+
+
+def test_cin_bwd_dispatch_condition_via_grad(monkeypatch):
+    """jax.grad through _cin_layer_2d (flat weights) hits the Pallas
+    backward on aligned bf16 shapes (opt-in env) and agrees with the einsum
+    path end to end."""
+    monkeypatch.setenv("RECMODELS_CIN_BWD_KERNEL", "1")
+    rows, hk, m, hn = 512, 128, 26, 128
+    r = np.random.default_rng(12)
+    xk2 = jnp.asarray(r.normal(size=(rows, hk)).astype(np.float32)).astype(jnp.bfloat16)
+    x02 = jnp.asarray(r.normal(size=(rows, m)).astype(np.float32)).astype(jnp.bfloat16)
+    w = jnp.asarray((r.normal(size=(hn, hk, m)) * 0.1).astype(np.float32)).astype(jnp.bfloat16)
+    w2 = ref.flatten_cin_w(w)
+
+    def loss(a, b, c):
+        return jnp.sum(ker._cin_layer_2d(a, b, c).astype(jnp.float32) ** 2)
+
+    gk = jax.grad(loss, argnums=(0, 1, 2))(xk2, x02, w2)
+
+    def loss_ref(a, b, c2):
+        c3 = c2.reshape(hk, m, hn)
+        t = jnp.einsum("rh,hin->rin", a, c3, preferred_element_type=jnp.float32)
+        out = jnp.einsum("rin,ri->rn", t, b.astype(t.dtype)).astype(a.dtype)
+        return jnp.sum(out.astype(jnp.float32) ** 2)
+
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(xk2, x02, w2)
+    for a, b in zip(gk, gr):
+        a, b = np.asarray(a, np.float32), np.asarray(b, np.float32)
+        # bf16 summation-order differences: bound the error by the
+        # cotangent's overall scale, not elementwise (tiny elements of a
+        # large-magnitude grad legitimately differ by bf16 ulps of the sum)
+        assert np.max(np.abs(a - b)) <= 0.01 * np.max(np.abs(b)) + 1e-3
