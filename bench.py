@@ -115,6 +115,65 @@ def bench_model(name: str, batch: int, steps: int, warmup: int, vocab: int, dim:
     }
 
 
+def bench_infer(name: str, batch: int, steps: int, vocab: int, dim: int,
+                bf16: bool) -> dict:
+    """Forward-only (serving) throughput: a lax.scan of ``steps`` logits
+    batches as one device program, same anchored two-run timing as
+    bench_model."""
+    import numpy as np
+
+    from recmodels_tpu.data import SyntheticSource, criteo_schema
+    from recmodels_tpu.models import build_model
+    from recmodels_tpu.train.engine import Engine
+
+    schema = criteo_schema(vocab_size=vocab, embed_dim=dim)
+    kw = dict(MODEL_KW[name])
+    if bf16 and name not in ("lr", "fm"):
+        kw["compute_dtype"] = jnp.bfloat16
+    model = build_model(name, schema, **kw)
+    engine = Engine(model)
+    state = engine.init(jax.random.key(0))
+
+    @jax.jit
+    def infer_scan(state, dense, ids):
+        def body(carry, batch):
+            d, i = batch
+            return carry, engine.logits(state, d, i)
+
+        _, logits = jax.lax.scan(body, 0, (dense, ids))
+        # anchor on a scalar so timing fetches one value, not [K, B] logits
+        return jnp.sum(logits[-1])
+
+    def superbatch(k, seed):
+        src = iter(SyntheticSource(schema, batch_size=batch, seed=seed))
+        ds, iss = zip(*((b.dense, b.ids) for b, _ in zip(src, range(k))))
+        return jnp.asarray(np.stack(ds)), jnp.asarray(np.stack(iss))
+
+    small = superbatch(1, seed=0)
+    big = superbatch(steps, seed=1)
+    t0 = time.time()
+    float(infer_scan(state, *small))
+    compile_s = time.time() - t0
+    float(infer_scan(state, *big))
+
+    def run(sb):
+        t0 = time.time()
+        float(infer_scan(state, *sb))
+        return time.time() - t0
+
+    t1 = min(run(small) for _ in range(3))
+    t2 = min(run(big) for _ in range(3))
+    dt = max((t2 - t1) / (steps - 1), 1e-9)
+    return {
+        "model": name,
+        "examples_per_sec": batch / dt,
+        "step_ms": 1000.0 * dt,
+        "batch": batch,
+        "compile_plus_warmup_s": round(compile_s, 2),
+        "device": str(jax.devices()[0]),
+    }
+
+
 def bench_scaling(name: str, devices: int, batch_per_device: int, steps: int,
                   vocab: int, dim: int, bf16: bool) -> dict:
     """Scaling-efficiency harness (BASELINE.json:5 '>=80% examples/s scaling
@@ -193,6 +252,8 @@ def main():
     ap.add_argument("--vocab", type=int, default=100_000)
     ap.add_argument("--dim", type=int, default=16)
     ap.add_argument("--no-bf16", action="store_true")
+    ap.add_argument("--infer", action="store_true",
+                    help="forward-only (serving) throughput instead of train")
     ap.add_argument("--devices", type=int, default=0,
                     help="scaling mode: weak-scaling efficiency on an N-device "
                          "mesh (re-execs onto N fake CPU devices if fewer are attached)")
@@ -232,14 +293,20 @@ def main():
 
     names = sorted(MODEL_KW) if args.all else [args.model]
     for name in names:
-        r = bench_model(
-            name, args.batch, args.steps, args.warmup, args.vocab, args.dim,
-            bf16=not args.no_bf16,
-        )
-        golden = goldens.get(name, {}).get("examples_per_sec")
+        if args.infer:
+            r = bench_infer(name, args.batch, args.steps, args.vocab,
+                            args.dim, bf16=not args.no_bf16)
+            golden = goldens.get(f"{name}_infer", {}).get("examples_per_sec")
+        else:
+            r = bench_model(
+                name, args.batch, args.steps, args.warmup, args.vocab, args.dim,
+                bf16=not args.no_bf16,
+            )
+            golden = goldens.get(name, {}).get("examples_per_sec")
         vs = r["examples_per_sec"] / golden if golden else 1.0
+        mode = "infer" if args.infer else "train"
         line = {
-            "metric": f"{name}_train_examples_per_sec_per_chip",
+            "metric": f"{name}_{mode}_examples_per_sec_per_chip",
             "value": round(r["examples_per_sec"], 1),
             "unit": "examples/s",
             "vs_baseline": round(vs, 3),

@@ -414,7 +414,7 @@ def _packed_kernel(pos_ref, lr_ref, uids_ref, *rest, eps, n_chunks, n_ops,
 
 
 def sorted_adagrad_update_packed(table, acc, uids, gsum, lr, eps,
-                                 tc: int = TC, tb: int = 4):
+                                 tc: int = TC, tb: int = 8):
     """``sorted_adagrad_update`` over PACKED [n_tiles, d, tr] table/acc
     (``pallas_gather.pack``) — LocalTables' master layout, shared with the
     sweep-gather kernel. Processes ``tb`` tiles per grid step so the
