@@ -46,6 +46,13 @@ MODEL_KW = {
     "afm": {"attention_dim": 32},
 }
 
+# Per-model throughput-optimal batch (BASELINE.md round-3 sweep): the two
+# embedding-kernel full-table sweeps are fixed-cost per step, so larger
+# batches win until sort/HBM pressure catches up — every model gains 3-34%
+# at 16384 except f32 FM (3-part-split traffic scales with ids; -17%).
+DEFAULT_BATCH = {"fm": 8192}
+DEFAULT_BATCH_OTHER = 16384
+
 
 def bench_model(name: str, batch: int, steps: int, warmup: int, vocab: int, dim: int,
                 bf16: bool) -> dict:
@@ -246,7 +253,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--model", default="xdeepfm", choices=sorted(MODEL_KW))
     ap.add_argument("--all", action="store_true")
-    ap.add_argument("--batch", type=int, default=8192)
+    ap.add_argument("--batch", type=int, default=0,
+                    help="0 = per-model throughput-optimal default "
+                         "(DEFAULT_BATCH table)")
     ap.add_argument("--steps", type=int, default=30)
     ap.add_argument("--warmup", type=int, default=3)
     ap.add_argument("--vocab", type=int, default=100_000)
@@ -293,13 +302,14 @@ def main():
 
     names = sorted(MODEL_KW) if args.all else [args.model]
     for name in names:
+        batch = args.batch or DEFAULT_BATCH.get(name, DEFAULT_BATCH_OTHER)
         if args.infer:
-            r = bench_infer(name, args.batch, args.steps, args.vocab,
+            r = bench_infer(name, batch, args.steps, args.vocab,
                             args.dim, bf16=not args.no_bf16)
             golden = goldens.get(f"{name}_infer", {}).get("examples_per_sec")
         else:
             r = bench_model(
-                name, args.batch, args.steps, args.warmup, args.vocab, args.dim,
+                name, batch, args.steps, args.warmup, args.vocab, args.dim,
                 bf16=not args.no_bf16,
             )
             golden = goldens.get(name, {}).get("examples_per_sec")

@@ -179,7 +179,15 @@ class Engine:
     emb_lr: float = 1e-2
     axis_name: str | None = None
     table_strategy: Any = None  # defaults to LocalTables
+    # LR schedules (reference parity: OptimMethod LearningRateSchedule —
+    # train/schedules.py): the dense one is an optax schedule passed to the
+    # optimizer; the embedding one is evaluated in-graph per step.
+    dense_lr_schedule: Callable[[jnp.ndarray], jnp.ndarray] | None = None
     emb_lr_schedule: Callable[[jnp.ndarray], jnp.ndarray] | None = None
+    # decoupled L2 on dense params (reference parity: BigDL's per-layer
+    # wRegularizer=L2Regularizer; embeddings stay decay-free — decaying
+    # only touched rows would make decay depend on batch composition)
+    dense_weight_decay: float = 0.0
     fuse_wide: bool = True
 
     def __post_init__(self):
@@ -247,14 +255,21 @@ class Engine:
             # math (both ulp-scale). Verified by the FM packed-vs-XLA
             # train-step parity test (tests/test_pallas_gather.py).
             self.table_strategy.fast_dtype = self._gather_dtype
+        lr = self.dense_lr_schedule if self.dense_lr_schedule is not None else self.dense_lr
+        wd = self.dense_weight_decay
         if self.dense_optimizer == "adam":
-            self.dense_tx = optax.adam(self.dense_lr)
+            self.dense_tx = optax.adamw(lr, weight_decay=wd) if wd else optax.adam(lr)
         elif self.dense_optimizer == "adagrad":
-            self.dense_tx = optax.adagrad(self.dense_lr)
+            self.dense_tx = optax.adagrad(lr)
         elif self.dense_optimizer == "sgd":
-            self.dense_tx = optax.sgd(self.dense_lr)
+            self.dense_tx = optax.sgd(lr)
         else:
             raise ValueError(f"unknown dense optimizer {self.dense_optimizer}")
+        if wd and self.dense_optimizer != "adam":
+            # decoupled decay for non-adam: decay folded in BEFORE the update
+            self.dense_tx = optax.chain(
+                optax.add_decayed_weights(wd), self.dense_tx
+            )
 
     # ------------------------------------------------------------------ init
     def init(self, rng: jax.Array) -> TrainState:

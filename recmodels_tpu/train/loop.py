@@ -69,6 +69,21 @@ class Trainer:
         )
         model = build_model(cfg.model, self.schema, **cfg.model_kwargs())
 
+        from recmodels_tpu.train.schedules import build_lr_schedule
+
+        def _sched(base):
+            s = build_lr_schedule(
+                base, cfg.lr_schedule, warmup_steps=cfg.warmup_steps,
+                total_steps=cfg.steps, end_scale=cfg.lr_end_scale,
+            )
+            return None if isinstance(s, float) else s
+
+        sched_kw = {
+            "dense_lr_schedule": _sched(cfg.dense_lr),
+            "emb_lr_schedule": _sched(cfg.emb_lr),
+            "dense_weight_decay": cfg.dense_weight_decay,
+        }
+
         n_dev = cfg.n_devices or len(jax.devices())
         self.n_devices = n_dev
         if n_dev > 1:
@@ -89,6 +104,7 @@ class Trainer:
                 dense_lr=cfg.dense_lr,
                 emb_lr=cfg.emb_lr,
                 capacity_factor=cfg.capacity_factor,
+                **sched_kw,
             )
             self._shard = lambda s: shard_state(s, self.mesh)
             self.train_step, self.eval_step = build_parallel_steps(self.engine, self.mesh)
@@ -103,6 +119,7 @@ class Trainer:
                 sparse_optimizer=cfg.sparse_optimizer,
                 dense_lr=cfg.dense_lr,
                 emb_lr=cfg.emb_lr,
+                **sched_kw,
             )
             self._shard = lambda s: s
             self.train_step = self.engine.jit_train_step()

@@ -27,6 +27,12 @@ class TrainConfig:
     sparse_optimizer: str = "adagrad"
     dense_lr: float = 1e-3
     emb_lr: float = 1e-2
+    # LR schedule (applies to BOTH lrs; train/schedules.py):
+    # constant | linear | cosine | exponential, with optional linear warmup
+    lr_schedule: str = "constant"
+    warmup_steps: int = 0
+    lr_end_scale: float = 0.0  # final lr as a fraction of base (linear/cosine)
+    dense_weight_decay: float = 0.0  # decoupled L2 on dense params
     # data
     data: str = "synthetic"  # "synthetic" | path to criteo TSV
     val_data: str | None = None
