@@ -55,7 +55,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-TR = 512  # table rows per tile — must equal pallas_update.TR (shared layout)
+TR = 1024  # table rows per tile — must equal pallas_update.TR (shared layout)
 TP = 512  # sorted-id positions per chunk (output block height). With the
 # factored one-hot, bigger chunks win back (fewer boundary tiles/DMAs):
 # measured on v5e at the flagship shape: 1.52ms (tp=512) vs 1.60 (256) vs

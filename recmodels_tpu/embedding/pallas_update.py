@@ -72,7 +72,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-TR = 512  # table rows per tile (128-multiple; == pallas_gather.TR)
+TR = 1024  # table rows per tile (128-multiple; == pallas_gather.TR)
 TC = 512  # update-stream positions per chunk (128-multiple)
 
 _INTERPRET = False

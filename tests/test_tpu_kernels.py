@@ -136,3 +136,58 @@ def test_engine_bf16_train_step_compiled_loss_finite():
     step = eng.jit_train_step()
     state, m = step(state, dense, ids, labels)
     assert np.isfinite(float(m["loss"]))
+
+
+def test_cin_bwd_kernel_compiled_matches_einsums(monkeypatch):
+    """The opt-in fused CIN backward compiled on-chip vs einsum cotangents
+    (flat kernel-native weights)."""
+    from recmodels_tpu.ops import interactions as ref_ops
+    from recmodels_tpu.ops.pallas import interactions_tpu as ktu
+
+    rng = np.random.default_rng(6)
+    rows, hk, m, hn = 512 * 8, 128, 26, 128
+    xk2 = jnp.asarray(rng.normal(size=(rows, hk)).astype(np.float32)).astype(jnp.bfloat16)
+    x02 = jnp.asarray(rng.normal(size=(rows, m)).astype(np.float32)).astype(jnp.bfloat16)
+    w = jnp.asarray((rng.normal(size=(hn, hk, m)) * 0.1).astype(np.float32)).astype(jnp.bfloat16)
+    g = jnp.asarray(rng.normal(size=(rows, hn)).astype(np.float32)).astype(jnp.bfloat16)
+    w2 = ref_ops.flatten_cin_w(w)
+
+    gxk, gx0, gw2 = jax.jit(ktu._cin_bwd_pallas)(xk2, x02, w2, g)
+    want_xk = jnp.einsum("rn,nhi,ri->rh", g, w, x02)
+    want_x0 = jnp.einsum("rn,nhi,rh->ri", g, w, xk2)
+    want_w2 = ref_ops.flatten_cin_w(jnp.einsum("rn,rh,ri->nhi", g, xk2, x02))
+    for a, b in ((gxk, want_xk), (gx0, want_x0), (gw2, want_w2)):
+        a = np.asarray(a, np.float32)
+        b = np.asarray(b, np.float32)
+        assert np.max(np.abs(a - b)) <= 0.01 * np.max(np.abs(b)) + 1e-3
+
+
+def test_serve_roundtrip_on_tpu(tmp_path):
+    """Export from a TPU-trained (packed-master) state, reload, and score:
+    canonicalize -> re-pack must reproduce the engine's own logits."""
+    from recmodels_tpu.data import SyntheticSource
+    from recmodels_tpu.data.schema import criteo_schema
+    from recmodels_tpu.models import build_model
+    from recmodels_tpu.serve import export_model, load_predictor
+    from recmodels_tpu.train.engine import Engine
+    from recmodels_tpu.utils.config import TrainConfig
+
+    cfg = TrainConfig(model="deepfm", vocab_size=2000, embed_dim=16,
+                      hidden=(64,), bf16=True)
+    schema = criteo_schema(vocab_size=2000, embed_dim=16)
+    model = build_model("deepfm", schema, **cfg.model_kwargs())
+    eng = Engine(model)
+    state = eng.init(jax.random.key(0))
+    src = iter(SyntheticSource(schema, batch_size=512, seed=1))
+    ts = eng.jit_train_step()
+    for _ in range(5):
+        b = next(src)
+        state, _ = ts(state, jnp.asarray(b.dense), jnp.asarray(b.ids),
+                      jnp.asarray(b.labels))
+    out = str(tmp_path / "artifact")
+    export_model(out, cfg, eng, jax.device_get(state))
+    pred = load_predictor(out, min_bucket=512)
+    b = next(src)
+    want = np.asarray(jax.jit(eng.logits)(state, jnp.asarray(b.dense), jnp.asarray(b.ids)))
+    got = pred.predict_logits(b.dense, b.ids)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
