@@ -420,6 +420,11 @@ def _cin_2d_bwd(res, g):
     # einsum path (also: layer 1's Hk = m = 26, misaligned lanes). w3[h,i,n]
     # is a FREE reshape of the flat parameter — every einsum below is
     # expressed against it so NO weight transpose is ever materialized.
+    # NOTE (r3, measured): forcing the contraction order with explicit 2-D
+    # dots (shared [R, hk*m] projection + row-contraction gw) regressed
+    # 897k -> 725k ex/s at the flagship — XLA's own 3-operand einsum
+    # scheduling beats explicit materialization here, same conclusion as
+    # the round-1 "do not hoist g @ W" note. Leave opt_einsum alone.
     w3 = w2.reshape(hk, m, hn)
     gxk = jnp.einsum("rn,hin,ri->rh", g, w3, x02)
     gx0 = jnp.einsum("rn,hin,rh->ri", g, w3, xk2)
