@@ -64,7 +64,10 @@ def auc_merge(a: AUCState, b: AUCState) -> AUCState:
 
 
 def auc_compute(state: AUCState) -> dict:
-    """Finalize: {'auc', 'logloss', 'count'} from the streaming state."""
+    """Finalize: {'auc', 'logloss', 'accuracy', 'count'} from the streaming
+    state (accuracy at the 0.5 threshold — BigDL ``ValidationMethod``
+    family parity; derived from the same histograms, so it shares the
+    O(1/K) binning tolerance)."""
     pos = state.pos_hist.astype(jnp.float64) if jax.config.jax_enable_x64 else state.pos_hist
     neg = state.neg_hist.astype(pos.dtype)
     total_pos = jnp.sum(pos)
@@ -74,4 +77,8 @@ def auc_compute(state: AUCState) -> dict:
     denom = jnp.maximum(total_pos * total_neg, 1.0)
     auc = wins / denom
     logloss = state.loss_sum / jnp.maximum(state.count, 1.0)
-    return {"auc": auc, "logloss": logloss, "count": state.count}
+    half = state.pos_hist.shape[0] // 2  # bin index of score 0.5
+    correct = jnp.sum(pos[half:]) + jnp.sum(neg[:half])
+    accuracy = correct / jnp.maximum(total_pos + total_neg, 1.0)
+    return {"auc": auc, "logloss": logloss, "accuracy": accuracy,
+            "count": state.count}

@@ -67,3 +67,18 @@ def test_auc_merge_is_exactly_additive():
 def test_degenerate_single_class_does_not_nan():
     out = auc_compute(auc_update(auc_init(), jnp.zeros(10), jnp.ones(10)))
     assert np.isfinite(float(out["auc"]))
+
+
+def test_accuracy_from_histograms():
+    import numpy as np
+    import jax.numpy as jnp
+    from recmodels_tpu.train import metrics as M
+
+    rng = np.random.default_rng(0)
+    logits = jnp.asarray(rng.normal(scale=2.0, size=(4096,)).astype(np.float32))
+    labels = jnp.asarray((rng.random(4096) < 0.4).astype(np.float32))
+    st = M.auc_update(M.auc_init(), logits, labels)
+    out = M.auc_compute(st)
+    p = 1.0 / (1.0 + np.exp(-np.asarray(logits)))
+    want = np.mean((p >= 0.5) == (np.asarray(labels) > 0.5))
+    assert abs(float(out["accuracy"]) - want) < 2e-3  # binning tolerance
