@@ -5,6 +5,7 @@ with AUC/Loss ValidationMethods).
 
     python predict.py --ckpt-dir runs/xdeepfm --data test.tsv --out preds.txt
     python predict.py --ckpt-dir runs/xdeepfm --data test.tsv   # metrics only
+    python predict.py --model-dir artifacts/xdeepfm --data test.tsv  # serving artifact
 """
 
 from __future__ import annotations
@@ -15,7 +16,9 @@ import sys
 
 def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("--ckpt-dir", required=True, help="training checkpoint dir (with config.json)")
+    src_arg = ap.add_mutually_exclusive_group(required=True)
+    src_arg.add_argument("--ckpt-dir", help="training checkpoint dir (with config.json)")
+    src_arg.add_argument("--model-dir", help="exported serving artifact (export.py / serve.py)")
     ap.add_argument("--data", required=True, help="criteo TSV path or 'synthetic'")
     ap.add_argument("--out", default=None, help="write one probability per line")
     ap.add_argument("--batch-size", type=int, default=None)
@@ -36,23 +39,42 @@ def main(argv=None):
     from recmodels_tpu.train import metrics as metrics_lib
     from recmodels_tpu.utils.config import TrainConfig
 
-    with open(f"{args.ckpt_dir}/config.json") as f:
-        cfg = TrainConfig.from_json(f.read())
-    overrides = [f"data={args.data!r}", "steps=0", "eval_every=0"]
-    if args.batch_size:
-        overrides.append(f"batch_size={args.batch_size}")
-    cfg = cfg.apply_overrides(overrides + [f"ckpt_dir={args.ckpt_dir!r}"])
+    if args.model_dir:
+        from recmodels_tpu.serve import load_predictor
+        from recmodels_tpu.utils.logging import MetricsLogger
 
-    trainer = Trainer(cfg)
-    state = trainer._shard(trainer.engine.init(jax.random.key(cfg.seed)))
-    state, _ = trainer.ckpt.restore(state)
-    trainer.logger.log_text(f"restored step {int(state.step)} from {args.ckpt_dir}")
+        with open(f"{args.model_dir}/model.json") as f:
+            cfg = TrainConfig.from_json(f.read())
+        overrides = [f"data={args.data!r}", "steps=0", "eval_every=0"]
+        if args.batch_size:
+            overrides.append(f"batch_size={args.batch_size}")
+        cfg = cfg.apply_overrides(overrides)
+        pred = load_predictor(args.model_dir)
+        trainer = None
+        logger = MetricsLogger(None)
+        logger.log_text(f"loaded serving artifact from {args.model_dir}")
+        state = pred.state
+        logits_fn = lambda st, d, i: jnp.asarray(pred.predict_logits(d, i))  # noqa: E731
+    else:
+        with open(f"{args.ckpt_dir}/config.json") as f:
+            cfg = TrainConfig.from_json(f.read())
+        overrides = [f"data={args.data!r}", "steps=0", "eval_every=0"]
+        if args.batch_size:
+            overrides.append(f"batch_size={args.batch_size}")
+        cfg = cfg.apply_overrides(overrides + [f"ckpt_dir={args.ckpt_dir!r}"])
+
+        trainer = Trainer(cfg)
+        logger = trainer.logger
+        state = trainer._shard(trainer.engine.init(jax.random.key(cfg.seed)))
+        state, _ = trainer.ckpt.restore(state)
+        logger.log_text(f"restored step {int(state.step)} from {args.ckpt_dir}")
 
     schema = build_schema(cfg)
     # loop=False: file sources yield each row exactly once (incl. the ragged
     # tail batch, padded + masked below so every row counts toward metrics)
     source = build_source(cfg, schema, args.data, seed=cfg.seed, loop=False)
-    logits_fn = jax.jit(trainer.engine.logits)
+    if trainer is not None:
+        logits_fn = jax.jit(trainer.engine.logits)
 
     auc_state = metrics_lib.auc_init()
     out_f = open(args.out, "w") if args.out else None
@@ -86,7 +108,7 @@ def main(argv=None):
     if out_f:
         out_f.close()
     out = metrics_lib.auc_compute(auc_state)
-    trainer.logger.log_text(
+    logger.log_text(
         f"eval n={n} auc={float(out['auc']):.6f} logloss={float(out['logloss']):.6f}"
     )
     return 0

@@ -103,3 +103,24 @@ def test_export_from_checkpoint_cli(tmp_path):
     b = next(iter(SyntheticSource(schema, batch_size=32, seed=5)))
     probs = pred(b.dense, b.ids)
     assert probs.shape == (32,) and np.all(np.isfinite(probs))
+
+
+def test_predict_cli_model_dir(tmp_path):
+    """predict.py --model-dir scores a serving artifact end to end."""
+    import subprocess, sys, os
+    ckpt = str(tmp_path / "run")
+    cfg = TrainConfig(model="fm", vocab_size=500, embed_dim=8, steps=10,
+                      batch_size=128, log_every=50, eval_every=0,
+                      ckpt_dir=ckpt, ckpt_every=10, n_devices=1)
+    Trainer(cfg).run()
+    from recmodels_tpu.serve import export_from_checkpoint
+    art = str(tmp_path / "artifact")
+    export_from_checkpoint(ckpt, art)
+    env = dict(os.environ, PYTHONPATH=os.getcwd())
+    out = subprocess.run(
+        [sys.executable, "predict.py", "--cpu", "--model-dir", art,
+         "--data", "synthetic", "--max-batches", "3"],
+        capture_output=True, text=True, env=env, timeout=300,
+    )
+    assert out.returncode == 0, out.stderr
+    assert "auc=" in out.stdout + out.stderr
