@@ -312,15 +312,25 @@ def _cin_bwd_kernel(g_ref, xk_ref, x0_ref, w2_ref, ones_ref,
         )
 
     # ONE NT dot for the whole projection (52 per-i [tr,128] dots measured
-    # ~21% MXU efficiency; this shape is [tr,Hn]x[m·Hk,Hn]ᵀ — full tiles)
-    t1 = jax.lax.dot_general(
-        g, wp_s[:], (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ).astype(jnp.bfloat16)  # [tr, m·Hk], col (i·Hk + h)
+    # ~21% MXU efficiency; this shape is [tr,Hn]x[m·Hk,Hn]ᵀ — full tiles),
+    # lane-CHUNKED so the f32 accumulator transient is bounded at tr=512
+    # (whole-width t1 at tr=512 is a 6.8MB f32 transient — VMEM overflow;
+    # round-3 race: tr=512+2 chunks 4.18ms vs tr=256 unchunked 5.42ms)
+    hk = xk.shape[1]
+    n_chunks = 2 if (m * hk) % 2 == 0 else 1
+    cw = (m * hk) // n_chunks
+    t1_parts = [
+        jax.lax.dot_general(
+            g, wp_s[c * cw : (c + 1) * cw, :], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(jnp.bfloat16)
+        for c in range(n_chunks)
+    ]
+    t1 = (jnp.concatenate(t1_parts, axis=1) if n_chunks > 1
+          else t1_parts[0])  # [tr, m·Hk], col (i·Hk + h)
     gxk = None
     q_parts = []
     z_parts = []
-    hk = xk.shape[1]
     for i in range(m):
         t1_i = t1[:, i * hk : (i + 1) * hk]
         x0_i = x0[:, i : i + 1]
@@ -358,7 +368,7 @@ def _cin_bwd_kernel(g_ref, xk_ref, x0_ref, w2_ref, ones_ref,
         )
 
 
-BWD_TR = 256  # rows per CIN-backward tile (512 exceeds the 16MB VMEM budget)
+BWD_TR = 512  # rows per CIN-backward tile (feasible once t1 is lane-chunked)
 
 
 def _cin_bwd_pallas(xk2, x02, w2, g):
@@ -408,14 +418,16 @@ def _cin_2d_bwd(res, g):
     # emitted directly in the flat parameter layout.
     import os as _os
     # The fused Pallas backward (one VMEM-resident projection shared by all
-    # three cotangents) measured 2.53ms vs ~2.4ms effective for the einsum
-    # path on v5e at the flagship shape — XLA's contraction scheduling is
-    # already competitive once the weights are stored flat, so the einsums
-    # stay the default and the kernel remains an opt-in
-    # (RECMODELS_CIN_BWD_KERNEL=1) covered by the same parity tests.
+    # three cotangents) is the DEFAULT for aligned bf16 layers since the
+    # round-3 tr=512/lane-chunked-t1 rework: 4.18ms vs 7.46ms einsum
+    # isolated, and in-step 919k vs 899k ex/s at the b=16384 flagship.
+    # (The earlier tr=256 version lost in-step, 844k vs 875k — XLA overlaps
+    # the einsum's HBM traffic with neighboring ops, so the kernel must win
+    # by a margin bigger than the lost overlap.) RECMODELS_CIN_BWD_EINSUM=1
+    # forces the einsum path; both are covered by the same parity tests.
     if (hk % 128 == 0 and hn % 128 == 0 and m <= 128 and rows % BWD_TR == 0
             and xk2.dtype == jnp.bfloat16
-            and _os.environ.get("RECMODELS_CIN_BWD_KERNEL")):
+            and not _os.environ.get("RECMODELS_CIN_BWD_EINSUM")):
         return _cin_bwd_pallas(xk2, x02, w2, g)
     # einsum path (also: layer 1's Hk = m = 26, misaligned lanes). w3[h,i,n]
     # is a FREE reshape of the flat parameter — every einsum below is

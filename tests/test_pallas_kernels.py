@@ -146,9 +146,9 @@ def test_cin_bwd_pallas_matches_einsums():
 
 def test_cin_bwd_dispatch_condition_via_grad(monkeypatch):
     """jax.grad through _cin_layer_2d (flat weights) hits the Pallas
-    backward on aligned bf16 shapes (opt-in env) and agrees with the einsum
-    path end to end."""
-    monkeypatch.setenv("RECMODELS_CIN_BWD_KERNEL", "1")
+    backward on aligned bf16 shapes (the default since round 3) and agrees
+    with the einsum path end to end."""
+    monkeypatch.delenv("RECMODELS_CIN_BWD_EINSUM", raising=False)
     rows, hk, m, hn = 512, 128, 26, 128
     r = np.random.default_rng(12)
     xk2 = jnp.asarray(r.normal(size=(rows, hk)).astype(np.float32)).astype(jnp.bfloat16)
