@@ -161,9 +161,16 @@ def fm_bi_interaction(emb: jnp.ndarray) -> jnp.ndarray:
 
 def afm_pair_products(emb: jnp.ndarray) -> jnp.ndarray:
     """AFM pairwise element-wise products (arXiv:1708.04617 §3):
-    p_ij = e_i ∘ e_j for i<j. emb: [B, F, D] -> [B, F(F-1)/2, D]."""
-    fi, fj = triu_pair_indices(emb.shape[1])
-    return emb[:, fi, :] * emb[:, fj, :]
+    p_ij = e_i ∘ e_j for i<j. emb: [B, F, D] -> [B, F(F-1)/2, D].
+
+    Built from STATIC slices (row i of the triangle is e_i ∘ e_{i+1:}), not
+    ``emb[:, fi, :]`` fancy indexing — the latter lowers to two [B, P, D]
+    XLA gathers over the slot axis, which dominated the AFM step on TPU
+    (the slice/concat form is gather-free and fuses; pair order is
+    np.triu_indices row-major either way, pinned by tests)."""
+    f = emb.shape[1]
+    rows = [emb[:, i : i + 1, :] * emb[:, i + 1 :, :] for i in range(f - 1)]
+    return jnp.concatenate(rows, axis=1)
 
 
 def dcn_cross_stack(x0: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
