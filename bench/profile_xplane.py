@@ -62,8 +62,11 @@ def main():
     args = ap.parse_args()
 
     schema = criteo_schema(vocab_size=args.vocab, embed_dim=args.dim)
-    kw = {"hidden": (400, 400), "cin_sizes": (128, 128), "compute_dtype": jnp.bfloat16} \
-        if args.model == "xdeepfm" else {}
+    # dtype policy mirrors bench.py: bf16 compute everywhere except LR/FM
+    # (whose goldens pin f32 math)
+    kw = {"hidden": (400, 400), "cin_sizes": (128, 128)} if args.model == "xdeepfm" else {}
+    if args.model not in ("lr", "fm"):
+        kw["compute_dtype"] = jnp.bfloat16
     model = build_model(args.model, schema, **kw)
     eng = Engine(model)
     state = eng.init(jax.random.key(0))

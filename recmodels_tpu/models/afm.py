@@ -42,13 +42,19 @@ class AFMModel(CTRModel):
         }
 
     def apply(self, params, dense: jnp.ndarray, emb: EmbActivations) -> jnp.ndarray:
-        pp = afm_pair_products(emb["emb"])  # [B, P, D]
+        # Mixed precision à la mlp_apply: the [B, P, *] attention tensors
+        # stay in compute_dtype (f32 params would otherwise promote every
+        # einsum over the 325-pair axis to f32 — measured 1.13M -> bf16
+        # keeps the heavy traffic half-width); softmax runs in f32.
+        cd = self.compute_dtype
+        pp = afm_pair_products(emb["emb"]).astype(cd)  # [B, P, D]
         att_h = jax.nn.relu(
-            jnp.einsum("bpd,da->bpa", pp, params["w_att"]) + params["b_att"]
+            jnp.einsum("bpd,da->bpa", pp, params["w_att"].astype(cd))
+            + params["b_att"].astype(cd)
         )
-        scores = jnp.einsum("bpa,a->bp", att_h, params["h_att"])
-        a = jax.nn.softmax(scores, axis=1)  # [B, P]
-        pooled = jnp.einsum("bp,bpd->bd", a, pp)
-        y_att = pooled @ params["p"]
+        scores = jnp.einsum("bpa,a->bp", att_h, params["h_att"].astype(cd))
+        a = jax.nn.softmax(scores.astype(jnp.float32), axis=1)  # [B, P]
+        pooled = jnp.einsum("bp,bpd->bd", a.astype(cd), pp)
+        y_att = pooled.astype(jnp.float32) @ params["p"]
         first = jnp.sum(emb["wide"][..., 0], axis=1)
         return params["bias"] + first + dense @ params["w_dense"] + y_att
