@@ -106,15 +106,19 @@ class LocalTables:
         un-permute take)."""
         from recmodels_tpu.embedding import pallas_gather
 
+        from recmodels_tpu.embedding.optim import slot_sorted_ids, slot_sorted_inverse
+
         b, ns = ids.shape
-        flat = ids.reshape(-1)
-        n = flat.shape[0]
-        iota = jnp.arange(n, dtype=jnp.int32)
-        sorted_ids, order = jax.lax.sort_key_val(flat, iota)
+        # batched per-slot sort: columns occupy disjoint increasing row
+        # ranges (collection.build_groups), so per-column sorted blocks
+        # concatenate into the global sorted stream — two [ns, B] batched
+        # sorts replace two flat [ns·B] bitonic sorts (ids sort + inverse
+        # permutation), and the update plan CSEs with the first one.
+        sorted_ids, _, order_2d = slot_sorted_ids(ids)
         rows_sorted = pallas_gather.sorted_gather(
             packed, sorted_ids, out_dtype=self.fast_dtype
         )
-        inv = jax.lax.sort_key_val(order, iota)[1]
+        inv = slot_sorted_inverse(order_2d)
         return jnp.take(rows_sorted[:, :dim], inv, axis=0).reshape(b, ns, dim)
 
     def gather(self, emb_params, gids, dtype=None, emb_opt=None, with_stats=False):
@@ -158,6 +162,9 @@ class LocalTables:
                     gr_flat,
                     step,
                     lr,
+                    # [B, n_g] group ids: lets the packed-kernel path use the
+                    # batched per-slot sort (shared with the gather plan)
+                    ids_2d=gids[name][g.name],
                 )
                 new_params[name][g.name] = table
                 new_opt[name][g.name] = opt

@@ -221,3 +221,28 @@ def test_fused_wide_column_equivalence():
     np.testing.assert_allclose(
         f2[:, 8], np.asarray(s_u2.emb_params["wide"]["d1"]), rtol=1e-5, atol=1e-6
     )
+
+
+def test_slot_sorted_ids_matches_flat_sort_exactly():
+    """The batched per-slot sort must reproduce the flat b-major sort
+    EXACTLY — same sorted stream, same permutation (including the order of
+    duplicate ids, which fixes the update kernel's duplicate-sum order),
+    and a correct inverse. Valid because build_groups assigns disjoint,
+    column-order-increasing row ranges (asserted here via construction)."""
+    import jax.lax
+
+    from recmodels_tpu.embedding.optim import slot_sorted_ids, slot_sorted_inverse
+
+    rng = np.random.default_rng(7)
+    b, ns, vocab = 512, 26, 97  # small vocab -> plenty of duplicate ids
+    ids = rng.integers(0, vocab, (b, ns)).astype(np.int32) + (
+        np.arange(ns, dtype=np.int32) * vocab
+    )[None, :]
+    flat = ids.reshape(-1)
+    iota = np.arange(flat.size, dtype=np.int32)
+    s_ref, o_ref = jax.lax.sort_key_val(jnp.asarray(flat), jnp.asarray(iota))
+    s_new, o_new, o2d = slot_sorted_ids(jnp.asarray(ids))
+    inv = slot_sorted_inverse(o2d)
+    np.testing.assert_array_equal(np.asarray(s_ref), np.asarray(s_new))
+    np.testing.assert_array_equal(np.asarray(o_ref), np.asarray(o_new))
+    np.testing.assert_array_equal(np.asarray(s_new)[np.asarray(inv)], flat)
