@@ -111,9 +111,14 @@ def main():
     # async DMA ops (copy-start / slice-start / *-done) run on the DMA
     # engines and overlap compute — their spans don't add to the critical
     # path; report them separately from the serialized compute stream.
+    # Classify by the op's OWN name (text before " = ") — matching the whole
+    # HLO line also hits OPERAND names (e.g. a Pallas custom-call consuming
+    # a %copy-done), which mislabeled the two biggest kernels as async DMA
+    # and manufactured round 3's phantom "6ms serialized-DMA gap".
     def is_async(name: str) -> bool:
-        return ("copy-start" in name or "slice-start" in name
-                or "-done" in name or "copy-done" in name)
+        op = name.split(" = ")[0]
+        return ("copy-start" in op or "slice-start" in op
+                or "-done" in op or "async-start" in op)
 
     sync_total = sum(ms for n, ms in per_op.items()
                      if not is_async(n) and "while" not in n)
