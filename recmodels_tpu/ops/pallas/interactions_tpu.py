@@ -447,6 +447,289 @@ def _cin_2d_bwd(res, g):
 _cin_layer_2d.defvjp(_cin_2d_fwd, _cin_2d_bwd)
 
 
+# ============================================= fused 2-layer CIN stack
+#
+# The flagship CIN(128,128) runs the WHOLE stack as one forward and one
+# backward Mosaic kernel (round 4). Two structural ideas:
+#
+# 1. PAIR-FIRST layer 1: m = 26 < H1 = 128, so building the pair-product
+#    tensor P[r,(h,i)] = x0[r,h]·x0[r,i] FIRST (m² = 676 lanes, padded to
+#    768) and contracting x1 = P @ W1p (W1p[(h,i),n] = w3[h,i,n] — a FREE
+#    row-major reshape of the stored flat [m, m·H1] weight) does ~5x less
+#    elementwise work than projection-then-fold (fold width m·H1 = 3328),
+#    and turns the L1 backward into two wide muls + small dots instead of
+#    the einsum path's [m, m, R] HBM intermediate (354MB at the flagship).
+# 2. All expansions ride ONE-HOT MXU DOTS (e1 = x0@EA, e2 = x0@EB with
+#    EA[h,(h,i)] = EB[i,(h,i)] = 1): the micro race
+#    (bench/cin_bwd_micro.py) showed a 436M-FLOP dot adds ~0.04ms over the
+#    pipeline floor (fully overlapped with DMA) while 26 per-row-scalar
+#    lane-broadcast muls cost ~1.3ms — dots are the cheap way to broadcast.
+#
+# Layer 2 keeps the production t1/fold formulation (H1 = H2 makes
+# pair-first neutral there; the e-form race in bench/cin_bwd_r4b.py lost).
+# Measured isolated at the b=16k flagship shape: fwd 2.69ms vs 3.04ms
+# (2 kernels + XLA pools), bwd 6.55ms vs 8.31ms (autodiff composition).
+# x2, both pool reductions, and the pool-grad broadcasts never exist in
+# HBM.
+
+_CIN2_TR = 512
+_CIN2_VMEM = 64 * 2**20
+
+
+def _cin2_supported(x02, w2s, d) -> bool:
+    if _interpret() or len(w2s) != 2 or x02.dtype != jnp.bfloat16:
+        return False
+    rows, m = x02.shape
+    h1 = w2s[0].shape[1] // m
+    h2 = w2s[1].shape[1] // m
+    return (
+        w2s[0].shape[0] == m
+        and w2s[1].shape[0] == h1
+        and h1 % 128 == 0
+        and h2 % 128 == 0
+        and m <= 128
+        and _CIN2_TR % d == 0
+        and rows % _CIN2_TR == 0
+    )
+
+
+@functools.lru_cache(maxsize=4)
+def _cin2_onehots_np(m: int):
+    """EA[h,(h,i)] = 1, EB[i,(h,i)] = 1 (pair expansion); OA[(h,i),j] =
+    1[h==j], OB[(h,i),j] = 1[i==j] (pair folding). Pairs h-major, lanes
+    padded to a 128 multiple. Cached as NUMPY (device constants built per
+    trace — caching traced arrays would leak tracers); XLA folds them."""
+    import numpy as np
+
+    mp = -(-m * m // 128) * 128
+    ea = np.zeros((m, mp), np.float32)
+    eb = np.zeros((m, mp), np.float32)
+    for h in range(m):
+        for i in range(m):
+            ea[h, h * m + i] = 1.0
+            eb[i, h * m + i] = 1.0
+    return ea, eb, ea.T.copy(), eb.T.copy()
+
+
+def _cin2_onehots(m: int):
+    return tuple(jnp.asarray(a, jnp.bfloat16) for a in _cin2_onehots_np(m))
+
+
+def _w1_pairs(w1_flat, m, h1, mp):
+    """Stored flat [m, m·H1] -> pairs [mp, H1]. The reshape is free (row-
+    major contiguity preserved: (h, i·H1+n) -> (h·m+i, n)); only the
+    zero-pad to mp rows copies."""
+    wp = w1_flat.reshape(m * m, h1)
+    return jnp.concatenate(
+        [wp, jnp.zeros((mp - m * m, h1), wp.dtype)], axis=0
+    )
+
+
+def _cin2_fwd_call(x02, w1, w2, d):
+    rows, m = x02.shape
+    h1 = w1.shape[1] // m
+    h2 = w2.shape[1] // m
+    mp = -(-m * m // 128) * 128
+    tr = _CIN2_TR
+    nb = tr // d
+    ea, eb, _, _ = _cin2_onehots(m)
+    w1p = _w1_pairs(w1, m, h1, mp)
+
+    def kern(x0_ref, w1p_ref, w2_ref, ea_ref, eb_ref, x1_ref, p1_ref, p2_ref):
+        x0 = x0_ref[:]
+        e1 = jnp.dot(x0, ea_ref[:], preferred_element_type=jnp.float32).astype(jnp.bfloat16)
+        e2 = jnp.dot(x0, eb_ref[:], preferred_element_type=jnp.float32).astype(jnp.bfloat16)
+        x1 = jnp.dot(e1 * e2, w1p_ref[:], preferred_element_type=jnp.float32
+                     ).astype(jnp.bfloat16)
+        x1_ref[:] = x1
+        t2 = jnp.dot(x1, w2_ref[:], preferred_element_type=jnp.float32
+                     ).astype(jnp.bfloat16)
+        acc = t2[:, 0:h2] * x0[:, 0:1]
+        for i in range(1, m):
+            acc = acc + t2[:, i * h2 : (i + 1) * h2] * x0[:, i : i + 1]
+        p1_ref[:] = jnp.sum(x1.reshape(nb, d, h1).astype(jnp.float32), axis=1
+                            ).astype(p1_ref.dtype)
+        p2_ref[:] = jnp.sum(acc.reshape(nb, d, h2).astype(jnp.float32), axis=1
+                            ).astype(p2_ref.dtype)
+
+    return pl.pallas_call(
+        kern,
+        grid=(rows // tr,),
+        in_specs=[
+            pl.BlockSpec((tr, m), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((mp, h1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((h1, m * h2), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((m, mp), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((m, mp), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((tr, h1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((nb, h1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((nb, h2), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((rows, h1), x02.dtype),
+            jax.ShapeDtypeStruct((rows // d, h1), x02.dtype),
+            jax.ShapeDtypeStruct((rows // d, h2), x02.dtype),
+        ],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_CIN2_VMEM),
+    )(x02, w1p, w2, ea, eb)
+
+
+def _cin2_bwd_call(x02, x1, w1, w2, g1p, g2p, d, chunks=2):
+    rows, m = x02.shape
+    h1 = w1.shape[1] // m
+    h2 = w2.shape[1] // m
+    mp = -(-m * m // 128) * 128
+    tr = _CIN2_TR
+    nb = tr // d
+    ea, eb, oa, ob = _cin2_onehots(m)
+    w1p = _w1_pairs(w1, m, h1, mp)
+    ones_blk = jnp.repeat(jnp.eye(m, dtype=jnp.bfloat16), h1, axis=0)
+
+    def kern(g1p_ref, g2p_ref, x0_ref, x1_ref, w2_ref, w1p_ref, ea_ref,
+             eb_ref, oa_ref, ob_ref, ones_ref,
+             gx0_ref, gw1_ref, gw2_ref, wp_s, gw1_s, gw2_s):
+        x0 = x0_ref[:]
+        xk = x1_ref[:]
+        step = pl.program_id(0)
+        first = step == 0
+
+        @pl.when(first)
+        def _():
+            wp_s[:] = jnp.concatenate(
+                [w2_ref[:, i * h2 : (i + 1) * h2] for i in range(m)], axis=0
+            )
+
+        # pool grads expand to rows in VMEM (each example's d rows share it)
+        g2 = jnp.broadcast_to(g2p_ref[:].reshape(nb, 1, h2), (nb, d, h2)
+                              ).reshape(tr, h2)
+        g1 = jnp.broadcast_to(g1p_ref[:].reshape(nb, 1, h1), (nb, d, h1)
+                              ).reshape(tr, h1)
+
+        # ---- layer-2 backward (production t1/fold formulation) ----
+        cw = (m * h1) // chunks
+        t1_parts = [
+            jax.lax.dot_general(
+                g2, wp_s[c * cw : (c + 1) * cw, :], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).astype(jnp.bfloat16)
+            for c in range(chunks)
+        ]
+        t1 = jnp.concatenate(t1_parts, axis=1) if chunks > 1 else t1_parts[0]
+        gx1 = None
+        q_parts, z_parts = [], []
+        for i in range(m):
+            t1_i = t1[:, i * h1 : (i + 1) * h1]
+            x0_i = x0[:, i : i + 1]
+            contrib = t1_i.astype(jnp.float32) * x0_i.astype(jnp.float32)
+            gx1 = contrib if gx1 is None else gx1 + contrib
+            q_parts.append(t1_i * xk)
+            z_parts.append(xk * x0_i)
+        gx1 = (gx1 + g1.astype(jnp.float32)).astype(jnp.bfloat16)
+        q = jnp.concatenate(q_parts, axis=1)
+        gx0_a = jnp.dot(q, ones_ref[:], preferred_element_type=jnp.float32)
+        z = jnp.concatenate(z_parts, axis=1)
+        gw2_step = jax.lax.dot_general(z, g2, (((0,), (0,)), ((), ())),
+                                       preferred_element_type=jnp.float32)
+
+        # ---- layer-1 backward (pair-first) ----
+        e1 = jnp.dot(x0, ea_ref[:], preferred_element_type=jnp.float32).astype(jnp.bfloat16)
+        e2 = jnp.dot(x0, eb_ref[:], preferred_element_type=jnp.float32).astype(jnp.bfloat16)
+        gp = jax.lax.dot_general(
+            gx1, w1p_ref[:], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(jnp.bfloat16)
+        gx0_b = (
+            jnp.dot(gp * e2, oa_ref[:], preferred_element_type=jnp.float32)
+            + jnp.dot(gp * e1, ob_ref[:], preferred_element_type=jnp.float32)
+        )
+        gw1_step = jax.lax.dot_general(
+            e1 * e2, gx1, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        gx0_ref[:] = (gx0_a + gx0_b).astype(gx0_ref.dtype)
+
+        @pl.when(first)
+        def _():
+            gw1_s[:] = gw1_step
+            gw2_s[:] = gw2_step
+
+        @pl.when(jnp.logical_not(first))
+        def _():
+            gw1_s[:] += gw1_step
+            gw2_s[:] += gw2_step
+
+        @pl.when(step == pl.num_programs(0) - 1)
+        def _():
+            gw1_ref[:] = gw1_s[:]
+            gw2_ref[:] = jnp.concatenate(
+                [gw2_s[i * h1 : (i + 1) * h1, :] for i in range(m)], axis=1
+            )
+
+    gx0, gw1p, gw2 = pl.pallas_call(
+        kern,
+        grid=(rows // tr,),
+        in_specs=[
+            pl.BlockSpec((nb, h1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((nb, h2), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tr, m), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tr, h1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((h1, m * h2), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((mp, h1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((m, mp), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((m, mp), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((mp, m), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((mp, m), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((m * h1, m), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((tr, m), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((mp, h1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((h1, m * h2), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((rows, m), x02.dtype),
+            jax.ShapeDtypeStruct((mp, h1), jnp.float32),
+            jax.ShapeDtypeStruct((h1, m * h2), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((m * h1, h2), jnp.bfloat16),
+            pltpu.VMEM((mp, h1), jnp.float32),
+            pltpu.VMEM((m * h1, h2), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_CIN2_VMEM),
+    )(g1p, g2p, x02, x1, w2, w1p, ea, eb, oa, ob, ones_blk)
+    # pairs-layout gw back to the stored flat layout (free reshape of the
+    # unpadded rows)
+    gw1 = gw1p[: m * m, :].reshape(m, m * h1)
+    return gx0, gw1.astype(w1.dtype), gw2.astype(w2.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _cin2_fused(x02, w1, w2, d):
+    x1, p1, p2 = _cin2_fwd_call(x02, w1, w2, d)
+    return p1, p2
+
+
+def _cin2_fused_fwd(x02, w1, w2, d):
+    x1, p1, p2 = _cin2_fwd_call(x02, w1, w2, d)
+    return (p1, p2), (x02, x1, w1, w2)
+
+
+def _cin2_fused_bwd(d, res, gs):
+    x02, x1, w1, w2 = res
+    g1p, g2p = gs
+    gx0, gw1, gw2 = _cin2_bwd_call(
+        x02, x1, w1, w2,
+        g1p.astype(jnp.bfloat16), g2p.astype(jnp.bfloat16), d,
+    )
+    return gx0, gw1, gw2
+
+
+_cin2_fused.defvjp(_cin2_fused_fwd, _cin2_fused_bwd)
+
+
 def cin_layer(xk, x0, w):
     """Dispatch-compatible wrapper: H-major in/out ([B,Hk,D] etc.),
     reference 3-D weight [Hn, Hk, m] (flattened at call — compat/test path,
@@ -462,9 +745,18 @@ def cin_layer(xk, x0, w):
 def cin_stack_dm_flat(x0_dm, w2s):
     """CIN from an already-D-major field matrix with FLAT kernel-native
     weights: x0_dm [B, D, m], w2s list of [H_prev, m*H_next] -> pools
-    concat [B, sum(H)]. Zero transposes of activations OR weights."""
+    concat [B, sum(H)]. Zero transposes of activations OR weights.
+
+    The 2-layer aligned bf16 case (the CIN(128,128) flagship) takes the
+    fully-fused stack kernels (``_cin2_fused`` below): one forward kernel
+    (x0 -> x1, pool1, pool2 — x2 and both pool reductions never touch HBM)
+    and one backward kernel (pool grads -> gx0, gw1, gw2 — no [B,D,H]
+    pool-grad broadcasts, no L1 einsum intermediate)."""
     b, d, m = x0_dm.shape
     x02 = x0_dm.reshape(b * d, m)
+    if _cin2_supported(x02, w2s, d):
+        p1, p2 = _cin2_fused(x02, w2s[0], w2s[1], d)
+        return jnp.concatenate([p1, p2], axis=1)
     xk2 = x02
     pools = []
     for w2 in w2s:

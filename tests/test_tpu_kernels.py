@@ -85,6 +85,10 @@ def test_update_2d_compiled_matches_sparse_adagrad():
 
 
 def test_cin_kernel_compiled_matches_reference():
+    # f32 compat path: pin matmul precision to HIGHEST on both sides — the
+    # platform's DEFAULT f32 matmul precision drifted to bf16 between
+    # rounds 3 and 4, which made kernel and einsum reference disagree at
+    # bf16 scale even though each was internally self-consistent.
     from recmodels_tpu.ops import interactions as ref_ops
     from recmodels_tpu.ops.pallas import interactions_tpu as ktu
 
@@ -93,8 +97,9 @@ def test_cin_kernel_compiled_matches_reference():
     xk = jnp.asarray(rng.normal(size=(b, hk, d)).astype(np.float32))
     x0 = jnp.asarray(rng.normal(size=(b, m, d)).astype(np.float32))
     w = jnp.asarray(rng.normal(size=(hn, hk, m)).astype(np.float32) * 0.1)
-    out = jax.jit(ktu.cin_layer)(xk, x0, w)
-    ref = ref_ops.cin_layer(xk, x0, w)
+    with jax.default_matmul_precision("highest"):
+        out = jax.jit(ktu.cin_layer)(xk, x0, w)
+        ref = jax.jit(ref_ops.cin_layer)(xk, x0, w)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-4)
 
 
@@ -191,3 +196,55 @@ def test_serve_roundtrip_on_tpu(tmp_path):
     want = np.asarray(jax.jit(eng.logits)(state, jnp.asarray(b.dense), jnp.asarray(b.ids)))
     got = pred.predict_logits(b.dense, b.ids)
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_cin2_fused_stack_compiled_matches_composed(monkeypatch):
+    """The fused 2-layer CIN stack (pair-first L1, round 4) compiled
+    on-chip: pools AND all three cotangents vs the composed per-layer
+    kernel path (gate forced off)."""
+    from recmodels_tpu.ops.pallas import interactions_tpu as ktu
+
+    rng = np.random.default_rng(7)
+    b, d, m, h1, h2 = 512, 16, 26, 128, 128
+    x_dm = jnp.asarray(rng.normal(size=(b, d, m)).astype(np.float32)).astype(jnp.bfloat16)
+    w1 = jnp.asarray((rng.normal(size=(m, m * h1)) * 0.1).astype(np.float32)).astype(jnp.bfloat16)
+    w2 = jnp.asarray((rng.normal(size=(h1, m * h2)) * 0.05).astype(np.float32)).astype(jnp.bfloat16)
+    c = jnp.asarray(rng.normal(size=(b, h1 + h2)).astype(np.float32))
+
+    def loss(x, wa, wb):
+        p = ktu.cin_stack_dm_flat(x, [wa, wb])
+        return jnp.sum(p.astype(jnp.float32) * c)
+
+    def loss_f32(x, wa, wb):
+        # f32 einsum oracle of the same math (pool(L1), pool(L2))
+        x2d = x.reshape(b * d, m).astype(jnp.float32)
+        w3a = wa.astype(jnp.float32).reshape(m, m, h1)
+        x1 = jnp.einsum("rh,hin,ri->rn", x2d, w3a, x2d)
+        w3b = wb.astype(jnp.float32).reshape(h1, m, h2)
+        x2 = jnp.einsum("rh,hin,ri->rn", x1, w3b, x2d)
+        p = jnp.concatenate(
+            [jnp.sum(x1.reshape(b, d, h1), axis=1),
+             jnp.sum(x2.reshape(b, d, h2), axis=1)], axis=1)
+        return jnp.sum(p * c)
+
+    assert ktu._cin2_supported(x_dm.reshape(b * d, m), [w1, w2], d)
+    got = jax.jit(jax.value_and_grad(loss, argnums=(0, 1, 2)))(x_dm, w1, w2)
+    with jax.default_matmul_precision("highest"):
+        want = jax.jit(jax.value_and_grad(loss_f32, argnums=(0, 1, 2)))(x_dm, w1, w2)
+    # composed per-layer kernel path, same bf16 regime, as a second oracle
+    monkeypatch.setattr(ktu, "_cin2_supported", lambda *a: False)
+    comp = jax.jit(jax.value_and_grad(loss, argnums=(0, 1, 2)))(x_dm, w1, w2)
+
+    def close(a, bb, tol):
+        a = np.asarray(a, np.float32)
+        bb = np.asarray(bb, np.float32)
+        assert np.max(np.abs(a - bb)) <= tol * np.max(np.abs(bb)) + 1e-3
+
+    # fused must sit within bf16 distance of the f32 oracle, and no farther
+    # from it than ~the composed path is (same-regime sanity)
+    close(got[0], want[0], 0.03)
+    for ga, gb in zip(got[1], want[1]):
+        close(ga, gb, 0.03)
+    close(comp[0], want[0], 0.03)
+    for ga, gb in zip(comp[1], want[1]):
+        close(ga, gb, 0.03)
