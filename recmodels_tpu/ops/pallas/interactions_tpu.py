@@ -301,18 +301,20 @@ def _cin_bwd_kernel(g_ref, xk_ref, x0_ref, w2_ref, ones_ref,
     step = pl.program_id(0)
     first = step == 0
 
-    # Build wp[(i·Hk+h), n] = w2[h, i·Hn+n] ONCE, in VMEM (sublane concat of
-    # the w2 lane-slices). Doing this permute in XLA instead lowered as a
-    # {1,0}->{0,1} relayout + chunked strided copies — 2.5ms/step of async
-    # DMA on a 1.7MB weight, the exact pathology this kernel exists to kill.
+    # Build wpT[n, (i·Hk+h)] = w2[h, i·Hn+n] ONCE, in VMEM, PRE-TRANSPOSED
+    # so the t1 projection is a pure NN dot: an NT dot re-transposes its
+    # loop-invariant RHS every tile (Mosaic cannot hoist out of a scratch
+    # buffer — measured in bench/dot_orient_micro.py, round 4). Doing the
+    # permute in XLA instead lowered as a {1,0}->{0,1} relayout + chunked
+    # strided copies — 2.5ms/step of async DMA on a 1.7MB weight.
     @pl.when(first)
     def _():
         wp_s[:] = jnp.concatenate(
-            [w2_ref[:, i * hn : (i + 1) * hn] for i in range(m)], axis=0
+            [w2_ref[:, i * hn : (i + 1) * hn].T for i in range(m)], axis=1
         )
 
-    # ONE NT dot for the whole projection (52 per-i [tr,128] dots measured
-    # ~21% MXU efficiency; this shape is [tr,Hn]x[m·Hk,Hn]ᵀ — full tiles),
+    # ONE NN dot for the whole projection (52 per-i [tr,128] dots measured
+    # ~21% MXU efficiency; this shape is [tr,Hn]@[Hn,m·Hk] — full tiles),
     # lane-CHUNKED so the f32 accumulator transient is bounded at tr=512
     # (whole-width t1 at tr=512 is a 6.8MB f32 transient — VMEM overflow;
     # round-3 race: tr=512+2 chunks 4.18ms vs tr=256 unchunked 5.42ms)
@@ -320,8 +322,8 @@ def _cin_bwd_kernel(g_ref, xk_ref, x0_ref, w2_ref, ones_ref,
     n_chunks = 2 if (m * hk) % 2 == 0 else 1
     cw = (m * hk) // n_chunks
     t1_parts = [
-        jax.lax.dot_general(
-            g, wp_s[c * cw : (c + 1) * cw, :], (((1,), (1,)), ((), ())),
+        jnp.dot(
+            g, wp_s[:, c * cw : (c + 1) * cw],
             preferred_element_type=jnp.float32,
         ).astype(jnp.bfloat16)
         for c in range(n_chunks)
@@ -344,10 +346,14 @@ def _cin_bwd_kernel(g_ref, xk_ref, x0_ref, w2_ref, ones_ref,
         q, ones_ref[:], preferred_element_type=jnp.float32
     ).astype(gx0_ref.dtype)
     z = jnp.concatenate(z_parts, axis=1)  # [tr, m·Hk] bf16
+    # gw accumulated TRANSPOSED [Hn, m·Hk]: the row-contraction dot
+    # transposes its FIRST operand, so pass the narrow g (0.13MB) and keep
+    # the wide z (3.4MB) untouched — wide-first relayouted ~1.7GB/step of
+    # VREGs (round-4 measurement, bench/dot_orient_micro.py)
     gw_step = jax.lax.dot_general(
-        z, g, (((0,), (0,)), ((), ())),  # row contraction: zᵀ @ g
+        g, z, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-    )  # [m·Hk, Hn]
+    )  # [Hn, m·Hk]
 
     @pl.when(first)
     def _():
@@ -357,14 +363,13 @@ def _cin_bwd_kernel(g_ref, xk_ref, x0_ref, w2_ref, ones_ref,
     def _():
         gw_s[:] += gw_step
 
-    # emit gw DIRECTLY in the flat parameter layout (lane concat in VMEM,
-    # once per call) — the XLA-side un-permute had the same relayout cost
-    # as the wp permute above
+    # emit gw DIRECTLY in the flat parameter layout (26 small [Hn,Hk]
+    # block transposes + lane concat, once per call on the last step)
     @pl.when(step == pl.num_programs(0) - 1)
     def _():
         hk = xk.shape[1]
         gw_ref[:] = jnp.concatenate(
-            [gw_s[i * hk : (i + 1) * hk, :] for i in range(m)], axis=1
+            [gw_s[:, i * hk : (i + 1) * hk].T for i in range(m)], axis=1
         )
 
 
@@ -399,8 +404,8 @@ def _cin_bwd_pallas(xk2, x02, w2, g):
             jax.ShapeDtypeStruct((hk, m * hn), jnp.float32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((m * hk, hn), jnp.bfloat16),  # wp (permuted weight)
-            pltpu.VMEM((m * hk, hn), jnp.float32),  # gw accumulator
+            pltpu.VMEM((hn, m * hk), jnp.bfloat16),  # wpT (pre-transposed)
+            pltpu.VMEM((hn, m * hk), jnp.float32),  # gw transposed accumulate
         ],
         interpret=_interpret(),
     )(g, xk2, x02, w2, ones_blk)
@@ -584,10 +589,10 @@ def _cin2_bwd_call(x02, x1, w1, w2, g1p, g2p, d, chunks=2):
     tr = _CIN2_TR
     nb = tr // d
     ea, eb, oa, ob = _cin2_onehots(m)
-    w1p = _w1_pairs(w1, m, h1, mp)
+    w1pt = _w1_pairs(w1, m, h1, mp).T  # [h1, mp]: NN orientation for gp
     ones_blk = jnp.repeat(jnp.eye(m, dtype=jnp.bfloat16), h1, axis=0)
 
-    def kern(g1p_ref, g2p_ref, x0_ref, x1_ref, w2_ref, w1p_ref, ea_ref,
+    def kern(g1p_ref, g2p_ref, x0_ref, x1_ref, w2_ref, w1pt_ref, ea_ref,
              eb_ref, oa_ref, ob_ref, ones_ref,
              gx0_ref, gw1_ref, gw2_ref, wp_s, gw1_s, gw2_s):
         x0 = x0_ref[:]
@@ -597,8 +602,13 @@ def _cin2_bwd_call(x02, x1, w1, w2, g1p, g2p, d, chunks=2):
 
         @pl.when(first)
         def _():
+            # wpT[n, (i,h)] = w3[h,i,n], PRE-transposed so the t1
+            # projection is a pure NN dot — an NT dot re-transposes its
+            # loop-invariant RHS every tile (Mosaic can't hoist out of a
+            # scratch buffer)
             wp_s[:] = jnp.concatenate(
-                [w2_ref[:, i * h2 : (i + 1) * h2] for i in range(m)], axis=0
+                [w2_ref[:, i * h2 : (i + 1) * h2].T for i in range(m)],
+                axis=1,
             )
 
         # pool grads expand to rows in VMEM (each example's d rows share it)
@@ -610,8 +620,8 @@ def _cin2_bwd_call(x02, x1, w1, w2, g1p, g2p, d, chunks=2):
         # ---- layer-2 backward (production t1/fold formulation) ----
         cw = (m * h1) // chunks
         t1_parts = [
-            jax.lax.dot_general(
-                g2, wp_s[c * cw : (c + 1) * cw, :], (((1,), (1,)), ((), ())),
+            jnp.dot(
+                g2, wp_s[:, c * cw : (c + 1) * cw],
                 preferred_element_type=jnp.float32,
             ).astype(jnp.bfloat16)
             for c in range(chunks)
@@ -630,24 +640,30 @@ def _cin2_bwd_call(x02, x1, w1, w2, g1p, g2p, d, chunks=2):
         q = jnp.concatenate(q_parts, axis=1)
         gx0_a = jnp.dot(q, ones_ref[:], preferred_element_type=jnp.float32)
         z = jnp.concatenate(z_parts, axis=1)
-        gw2_step = jax.lax.dot_general(z, g2, (((0,), (0,)), ((), ())),
+        # gw accumulated TRANSPOSED: a row-contraction dot transposes its
+        # FIRST operand in the Mosaic lowering, so pass the narrow one
+        # (g2, 0.13MB) and keep the wide pair tensor (z, 3.4MB) untouched —
+        # the wide-operand-first form relayouted ~1.7GB/step of VREGs
+        # (measured: bench/dot_orient_micro.py + the gw2dot ablation).
+        # One [h2, m·h1] -> flat [h1, m·h2] permute happens on the last
+        # grid step only.
+        gw2_step = jax.lax.dot_general(g2, z, (((0,), (0,)), ((), ())),
                                        preferred_element_type=jnp.float32)
 
         # ---- layer-1 backward (pair-first) ----
         e1 = jnp.dot(x0, ea_ref[:], preferred_element_type=jnp.float32).astype(jnp.bfloat16)
         e2 = jnp.dot(x0, eb_ref[:], preferred_element_type=jnp.float32).astype(jnp.bfloat16)
-        gp = jax.lax.dot_general(
-            gx1, w1p_ref[:], (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
+        gp = jnp.dot(  # NN against the pre-transposed [h1, mp] weight
+            gx1, w1pt_ref[:], preferred_element_type=jnp.float32,
         ).astype(jnp.bfloat16)
         gx0_b = (
             jnp.dot(gp * e2, oa_ref[:], preferred_element_type=jnp.float32)
             + jnp.dot(gp * e1, ob_ref[:], preferred_element_type=jnp.float32)
         )
         gw1_step = jax.lax.dot_general(
-            e1 * e2, gx1, (((0,), (0,)), ((), ())),
+            gx1, e1 * e2, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )
+        )  # [h1, mp] (transposed accumulate, same reason as gw2)
         gx0_ref[:] = (gx0_a + gx0_b).astype(gx0_ref.dtype)
 
         @pl.when(first)
@@ -662,9 +678,9 @@ def _cin2_bwd_call(x02, x1, w1, w2, g1p, g2p, d, chunks=2):
 
         @pl.when(step == pl.num_programs(0) - 1)
         def _():
-            gw1_ref[:] = gw1_s[:]
+            gw1_ref[:] = gw1_s[:].T
             gw2_ref[:] = jnp.concatenate(
-                [gw2_s[i * h1 : (i + 1) * h1, :] for i in range(m)], axis=1
+                [gw2_s[:, i * h1 : (i + 1) * h1].T for i in range(m)], axis=1
             )
 
     gx0, gw1p, gw2 = pl.pallas_call(
@@ -676,7 +692,7 @@ def _cin2_bwd_call(x02, x1, w1, w2, g1p, g2p, d, chunks=2):
             pl.BlockSpec((tr, m), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((tr, h1), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((h1, m * h2), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((mp, h1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((h1, mp), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((m, mp), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((m, mp), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((mp, m), lambda i: (0, 0), memory_space=pltpu.VMEM),
@@ -694,12 +710,12 @@ def _cin2_bwd_call(x02, x1, w1, w2, g1p, g2p, d, chunks=2):
             jax.ShapeDtypeStruct((h1, m * h2), jnp.float32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((m * h1, h2), jnp.bfloat16),
-            pltpu.VMEM((mp, h1), jnp.float32),
-            pltpu.VMEM((m * h1, h2), jnp.float32),
+            pltpu.VMEM((h2, m * h1), jnp.bfloat16),  # wpT (pre-transposed)
+            pltpu.VMEM((h1, mp), jnp.float32),   # gw1 transposed accumulate
+            pltpu.VMEM((h2, m * h1), jnp.float32),  # gw2 transposed accumulate
         ],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_CIN2_VMEM),
-    )(g1p, g2p, x02, x1, w2, w1p, ea, eb, oa, ob, ones_blk)
+    )(g1p, g2p, x02, x1, w2, w1pt, ea, eb, oa, ob, ones_blk)
     # pairs-layout gw back to the stored flat layout (free reshape of the
     # unpadded rows)
     gw1 = gw1p[: m * m, :].reshape(m, m * h1)
@@ -797,30 +813,39 @@ def _split_fused_fwd_impl(full, emb_dim: int):
         ws = jnp.sum(full[..., emb_dim].astype(jnp.float32), axis=1)
         return x_dm, ws
 
+    # The pallas_call works on 2-D FLAT views ([B·m, D+1] in, [B·D, m] out):
+    # a 3-D {2,1,0} operand spec forced XLA to relayout the gather-take's
+    # natural row-major [N, D+1] output through a {1,0}->{0,1} copy, a
+    # {1,0,2} reshape and a {2,1,0} copy (~0.8ms/step at b=16k, round-4
+    # trace); the flat views are BITCASTS of the same bytes, so the take
+    # feeds the kernel directly and the outputs bitcast back to the public
+    # 3-D shapes.
     def kern(x_ref, xdm_ref, ws_ref):
-        x = x_ref[:]
-        xdm_ref[:] = jnp.swapaxes(x[:, :, :emb_dim], 1, 2)
+        x = x_ref[:].reshape(tb, m, dp1)
+        xdm_ref[:] = jnp.swapaxes(x[:, :, :emb_dim], 1, 2).reshape(
+            tb * emb_dim, m
+        )
         ws_ref[:] = jnp.sum(x[:, :, emb_dim].astype(jnp.float32), axis=1,
                             keepdims=True)
 
-    x_dm, ws = pl.pallas_call(
+    x2d, ws = pl.pallas_call(
         kern,
         grid=(bsz // tb,),
-        in_specs=[pl.BlockSpec((tb, m, dp1), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)],
+        in_specs=[pl.BlockSpec((tb * m, dp1), lambda i: (i, 0), memory_space=pltpu.VMEM)],
         out_specs=[
-            pl.BlockSpec((tb, emb_dim, m), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb * emb_dim, m), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((tb, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
         ],
         out_shape=(
-            jax.ShapeDtypeStruct((bsz, emb_dim, m), full.dtype),
+            jax.ShapeDtypeStruct((bsz * emb_dim, m), full.dtype),
             jax.ShapeDtypeStruct((bsz, 1), jnp.float32),
         ),
         interpret=_interpret(),
-    )(full)
+    )(full.reshape(bsz * m, dp1))
     # ws must be rank-1 [B] like the reference/interpret paths: a (B, 1)
     # wide_sum broadcast against [B] terms silently builds (B, B) logits
     # (bug shipped in round 1's TPU bench — CPU lanes never hit this branch)
-    return x_dm, ws[:, 0]
+    return x2d.reshape(bsz, emb_dim, m), ws[:, 0]
 
 
 def _split_fused_bwd_impl(g_dm, g_ws, dtype, emb_dim: int):
@@ -833,24 +858,30 @@ def _split_fused_bwd_impl(g_dm, g_ws, dtype, emb_dim: int):
         ).astype(dtype)
         return jnp.concatenate([g_emb, g_wide], axis=2)
 
+    # 2-D flat views for the same layout reason as the forward (the output
+    # feeds the grad-permute take, which wants plain row-major [N, D+1])
     def kern(gdm_ref, gws_ref, out_ref):
-        g_emb = jnp.swapaxes(gdm_ref[:], 1, 2).astype(out_ref.dtype)
+        g3 = gdm_ref[:].reshape(tb, d, m)
+        g_emb = jnp.swapaxes(g3, 1, 2).astype(out_ref.dtype)
         g_w = jnp.broadcast_to(
             gws_ref[:][:, :, None], (tb, m, 1)
         ).astype(out_ref.dtype)
-        out_ref[:] = jnp.concatenate([g_emb, g_w], axis=2)
+        out_ref[:] = jnp.concatenate([g_emb, g_w], axis=2).reshape(
+            tb * m, d + 1
+        )
 
-    return pl.pallas_call(
+    out2d = pl.pallas_call(
         kern,
         grid=(bsz // tb,),
         in_specs=[
-            pl.BlockSpec((tb, d, m), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb * d, m), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((tb, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((tb, m, d + 1), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((bsz, m, d + 1), dtype),
+        out_specs=pl.BlockSpec((tb * m, d + 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bsz * m, d + 1), dtype),
         interpret=_interpret(),
-    )(g_dm, g_ws.reshape(bsz, 1))
+    )(g_dm.reshape(bsz * d, m), g_ws.reshape(bsz, 1))
+    return out2d.reshape(bsz, m, d + 1)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
