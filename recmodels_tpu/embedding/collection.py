@@ -122,10 +122,34 @@ class EmbeddingCollection:
 
     # ------------------------------------------------------------ indexing
     def group_row_ids(self, ids: jnp.ndarray) -> Dict[str, jnp.ndarray]:
-        """[B, n_slots] slot-local ids -> per-group global row ids [B, n_g]."""
+        """[B, n_slots] slot-local ids -> per-group global row ids [B, n_g].
+
+        PRECONDITION (ADVICE r3 #2): slot-local ids must lie in
+        [0, vocab_size) for their slot. The hashing pipeline guarantees
+        this; engine callers passing raw ids must not exceed the slot
+        vocab — an out-of-range id lands in the NEXT slot's row range,
+        which silently breaks the per-slot-sorted == globally-sorted
+        invariant the Pallas sweep-gather/sorted-scatter kernels rely on
+        (``optim.slot_sorted_ids``). Set ``RECMODELS_DEBUG_IDS=1`` to
+        clip-and-report instead of trusting callers (debug aid: clipping
+        changes semantics, so it is not on by default).
+        """
+        import os
+
+        debug = bool(os.environ.get("RECMODELS_DEBUG_IDS"))
         out = {}
         for g in self.groups:
             cols = ids[:, np.asarray(g.slot_indices, dtype=np.int32)]
+            if debug:
+                vocabs = jnp.asarray(
+                    [self.schema.slots[s].vocab_size for s in g.slot_indices],
+                    jnp.int32,
+                )[None, :]
+                oob = jnp.sum((cols < 0) | (cols >= vocabs))
+                jax.debug.print(
+                    "group_row_ids[{g}]: {n} out-of-range slot-local ids "
+                    "(clipped under RECMODELS_DEBUG_IDS)", g=g.name, n=oob)
+                cols = jnp.clip(cols, 0, vocabs - 1)
             out[g.name] = cols + jnp.asarray(self._np_offsets[g.name])[None, :]
         return out
 

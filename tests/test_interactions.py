@@ -106,3 +106,19 @@ def test_fm_vs_torch():
     tout = 0.5 * ((s * s).sum(1) - (te * te).sum(dim=(1, 2)))
     got = np.asarray(I.fm_pairwise(jnp.asarray(e)))
     np.testing.assert_allclose(got, tout.numpy(), rtol=1e-4, atol=1e-4)
+
+
+def test_afm_pair_products_matches_triu_indexing():
+    """ADVICE r3 #3: the static-slice construction must equal the
+    fancy-indexing form with np.triu pair order."""
+    import numpy as np
+    import jax.numpy as jnp
+    from recmodels_tpu.ops import interactions as ops
+
+    rng = np.random.default_rng(0)
+    b, f, d = 8, 7, 5
+    emb = jnp.asarray(rng.normal(size=(b, f, d)).astype(np.float32))
+    fi, fj = np.triu_indices(f, k=1)
+    want = np.asarray(emb)[:, fi, :] * np.asarray(emb)[:, fj, :]
+    got = np.asarray(ops.afm_pair_products(emb))
+    np.testing.assert_array_equal(got, want)

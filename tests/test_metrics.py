@@ -82,3 +82,30 @@ def test_accuracy_from_histograms():
     p = 1.0 / (1.0 + np.exp(-np.asarray(logits)))
     want = np.mean((p >= 0.5) == (np.asarray(labels) > 0.5))
     assert abs(float(out["accuracy"]) - want) < 2e-3  # binning tolerance
+
+
+def test_counts_exact_past_2pow24():
+    """i32 histograms accumulate exactly past 2^24 per bin (VERDICT r3 weak
+    #6: f32 counts silently dropped +1 increments at full-Criteo scale).
+    Constructs a state at 20M counts per bin directly, then verifies a
+    single additional example still moves the count and the f64 finalize
+    is exact."""
+    import jax.numpy as jnp
+    from recmodels_tpu.train import metrics as M
+
+    big = 20_000_000  # > 2**24: f32 would absorb +1 into rounding
+    st = M.AUCState(
+        pos_hist=jnp.zeros((M.DEFAULT_BINS,), jnp.int32).at[100].set(big),
+        neg_hist=jnp.zeros((M.DEFAULT_BINS,), jnp.int32).at[50].set(big),
+        loss_sum=jnp.zeros((), jnp.float32),
+        count=jnp.asarray(2 * big, jnp.int32),
+    )
+    # one more positive scoring into a high bin: exact increment
+    st2 = M.auc_update(st, jnp.asarray([4.0]), jnp.asarray([1.0]))
+    assert int(st2.count) == 2 * big + 1
+    assert int(jnp.sum(st2.pos_hist)) == big + 1
+    out = M.auc_compute(st2)
+    # all negatives sit strictly below all positives -> AUC exactly 1
+    assert out["auc"] == 1.0
+    # f32 control: the same +1 would have been lost
+    assert np.float32(big) + np.float32(1.0) == np.float32(big)
