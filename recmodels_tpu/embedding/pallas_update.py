@@ -215,20 +215,31 @@ def split_exact_bf16(x32, n_parts: int = 3):
     return parts
 
 
-def _prep_stream(uids, gsum, tc):
+def _prep_stream(uids, gsum, tc, count_row: bool = False):
     """Pad the sorted stream to whole chunks; transpose + sublane-pad the
     grads and split f32 into the exact 3-part bf16 decomposition (module
-    docstring #5). bf16 grads pass through as a single operand."""
+    docstring #5). bf16 grads pass through as a single operand.
+
+    ``count_row``: additionally set padding row ``d`` of the (transposed)
+    grad operand to 1.0 — the one-hot contraction then yields each table
+    row's OCCURRENCE COUNT in that feature row, which the lazy-Adam kernel
+    uses as its touched-row mask (lazy semantics: untouched rows must not
+    decay, and "touched" is membership in the id stream, not g != 0).
+    Sentinel-padded tail positions match no tile, so the count stays exact
+    without masking the ones row."""
     n, d = gsum.shape[0], gsum.shape[1]
     n_chunks = -(-n // tc)
     npad = n_chunks * tc
-    d16 = -(-d // 16) * 16
+    d_eff = d + 1 if count_row else d
+    d16 = -(-d_eff // 16) * 16
     uids_p = jnp.concatenate(
         [uids, jnp.full((npad - n,), jnp.iinfo(jnp.int32).max, jnp.int32)]
     )
     gsum_t = jnp.concatenate([gsum, jnp.zeros((npad - n, d), gsum.dtype)]).T
     if d16 != d:
         gsum_t = jnp.pad(gsum_t, ((0, d16 - d), (0, 0)))
+    if count_row:
+        gsum_t = gsum_t.at[d, :].set(1.0)
     if gsum.dtype == jnp.bfloat16:
         g_ops = [gsum_t]
     else:
@@ -465,6 +476,143 @@ def sorted_adagrad_update_packed(table, acc, uids, gsum, lr, eps,
         interpret=_interpret(),
     )(pos, lr_arr, uids_p.reshape(1, -1), *g_ops, *g_ops,
       uids_p.reshape(1, -1), table, acc)
+    return outs
+
+
+def _adam_packed_kernel(pos_ref, sc_ref, uids_ref, *rest, b1, b2, eps,
+                        n_chunks, n_ops, tb, tc, d, d_count):
+    """Packed-layout LAZY-ADAM update, TB tiles per grid step. Same sweep /
+    chunk / factored-one-hot structure as ``_packed_kernel``; the grad
+    operand carries the count feature in row ``d`` (``_prep_stream``
+    count_row), so ``touched = count > 0`` gates the moment decay exactly
+    like membership in the dedup'd id set (SURVEY.md §7 hard part 2 lazy
+    semantics). Bias-correction denominators arrive precomputed in SMEM
+    (sc = [lr, 1-b1^t, 1-b2^t])."""
+    g_hbm = rest[:n_ops]
+    g_blks = rest[n_ops : 2 * n_ops]
+    (ids_blk, table_ref, m_ref, v_ref,
+     table_out, m_out, v_out) = rest[2 * n_ops : 2 * n_ops + 7]
+    scratch = rest[2 * n_ops + 7 :]
+    ids_x, g_x, sems = scratch[0], scratch[1 : 1 + n_ops], scratch[1 + n_ops]
+    t = pl.program_id(0)
+    lr = sc_ref[0, 0]
+    bc1 = sc_ref[0, 1]
+    bc2 = sc_ref[0, 2]
+    tr = table_ref.shape[-1]
+    c0 = jnp.clip(pos_ref[t * tb] - 1, 0, n_chunks - 1)
+    ids_row0 = ids_blk[0:1, :]
+    g_vals0 = tuple(g[:, :] for g in g_blks)
+    ohlo0 = _chunk_ohlo(ids_row0, tc)
+
+    for r in range(tb):
+        tile = t * tb + r
+        base = tile * tr
+        lo_r = jnp.clip(pos_ref[tile] - 1, 0, n_chunks - 1)
+        hi_r = pos_ref[tile + 1]
+        use_blk = jnp.where(lo_r == c0, 1.0, 0.0)
+        g = _factored_contract(ids_row0, g_vals0, base, tr, tc, ohlo0) * use_blk
+
+        def body(ci, g_acc):
+            off = pl.multiple_of(ci * tc, 128)
+            dmas = [pltpu.make_async_copy(
+                uids_ref.at[0, pl.ds(off, tc)], ids_x.at[0, :], sems.at[0]
+            )]
+            for j, scr in enumerate(g_x):
+                dmas.append(pltpu.make_async_copy(
+                    g_hbm[j].at[:, pl.ds(off, tc)], scr, sems.at[1 + j]
+                ))
+            for dma in dmas:
+                dma.start()
+            for dma in dmas:
+                dma.wait()
+            ids_r = ids_x[0:1, :]
+            return g_acc + _factored_contract(
+                ids_r, tuple(s[:, :] for s in g_x), base, tr, tc,
+                _chunk_ohlo(ids_r, tc),
+            )
+
+        g = jax.lax.fori_loop(jnp.maximum(lo_r, c0 + 1), hi_r, body, g)
+
+        # count feature lives at the GRAD dim index (table d is sublane-
+        # padded wider than the grad width)
+        touched = g[d_count : d_count + 1, :] > 0.5  # [1, tr]
+        g = g[:d, :]
+        m_new = jnp.where(touched, b1 * m_ref[r] + (1.0 - b1) * g, m_ref[r])
+        v_new = jnp.where(touched, b2 * v_ref[r] + (1.0 - b2) * g * g, v_ref[r])
+        delta = jnp.where(
+            touched,
+            -lr * (m_new / bc1) / (jnp.sqrt(v_new / bc2) + eps),
+            0.0,
+        )
+        table_out[r] = table_ref[r] + delta
+        m_out[r] = m_new
+        v_out[r] = v_new
+
+
+def sorted_adam_update_packed(table, m, v, uids, gsum, lr, step,
+                              b1, b2, eps, tc: int = TC, tb: int = 8):
+    """LAZY-ADAM over PACKED [n_tiles, d, tr] table and moment tensors
+    (``pallas_gather.pack`` layout, shared with the sweep-gather kernel).
+    uids: [N] sorted int32, duplicates summed by the one-hot contraction;
+    gsum: [N, D] raw per-occurrence grads in the same order. ``step`` is
+    the GLOBAL step counter (0-based; bias correction uses t = step + 1 —
+    the standard lazy-Adam choice, ``optim.sparse_adam`` docstring).
+    Returns (table', m', v') updated in place via aliasing."""
+    n_tiles, d, tr = table.shape
+    uids_p, g_ops, n_chunks, d16 = _prep_stream(uids, gsum, tc, count_row=True)
+    pos = _chunk_pos(uids_p, n_tiles, tr, tc, n_chunks)
+    while n_tiles % tb:
+        tb //= 2
+
+    def c0_map(t, pos_ref):
+        return (0, jnp.clip(pos_ref[t * tb] - 1, 0, n_chunks - 1))
+
+    tile_spec = pl.BlockSpec((tb, d, tr), lambda t, *_: (t, 0, 0))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_tiles // tb,),
+        in_specs=[
+            pl.BlockSpec((1, 4), lambda t, *_: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pl.ANY),  # uids (rare-path manual DMA)
+        ]
+        + [pl.BlockSpec(memory_space=pl.ANY)] * len(g_ops)
+        + [pl.BlockSpec((d16, tc), c0_map)] * len(g_ops)  # grads chunk c0
+        + [
+            pl.BlockSpec((1, tc), c0_map),  # ids chunk c0
+            tile_spec,  # table
+            tile_spec,  # m
+            tile_spec,  # v
+        ],
+        out_specs=[tile_spec, tile_spec, tile_spec],
+        scratch_shapes=[pltpu.VMEM((1, tc), jnp.int32)]
+        + [pltpu.VMEM((d16, tc), jnp.bfloat16)] * len(g_ops)
+        + [pltpu.SemaphoreType.DMA((1 + len(g_ops),))],
+    )
+    t1 = (jnp.asarray(step, jnp.float32) + 1.0)
+    sc = jnp.stack([
+        jnp.asarray(lr, jnp.float32),
+        1.0 - jnp.asarray(b1, jnp.float32) ** t1,
+        1.0 - jnp.asarray(b2, jnp.float32) ** t1,
+        jnp.zeros((), jnp.float32),
+    ]).reshape(1, 4)
+    n_ops = len(g_ops)
+    alias_base = 4 + 2 * n_ops  # pos, sc, uids, g_hbm*, g_blk*, ids_blk
+    outs = pl.pallas_call(
+        functools.partial(
+            _adam_packed_kernel, b1=b1, b2=b2, eps=eps, n_chunks=n_chunks,
+            n_ops=n_ops, tb=tb, tc=tc, d=d, d_count=gsum.shape[1],
+        ),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((n_tiles, d, tr), table.dtype),
+            jax.ShapeDtypeStruct((n_tiles, d, tr), m.dtype),
+            jax.ShapeDtypeStruct((n_tiles, d, tr), v.dtype),
+        ],
+        input_output_aliases={alias_base: 0, alias_base + 1: 1,
+                              alias_base + 2: 2},
+        interpret=_interpret(),
+    )(pos, sc, uids_p.reshape(1, -1), *g_ops, *g_ops,
+      uids_p.reshape(1, -1), table, m, v)
     return outs
 
 

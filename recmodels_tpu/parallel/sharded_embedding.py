@@ -112,7 +112,9 @@ class ShardedTables:
 
         return (
             self.fast_dtype is not None
-            and self.sparse_opt.name == "adagrad"
+            # Adagrad and lazy Adam both have packed sweep-update kernels
+            # (optim.apply_updates routes by opt.name + layout)
+            and self.sparse_opt.name in ("adagrad", "adam")
             and pallas_gather.supported(table)
         )
 

@@ -17,6 +17,7 @@ class TrainConfig:
     cin_sizes: tuple = (128, 128)
     pnn_mode: str = "both"
     n_cross: int = 3
+    attention_dim: int = 32  # AFM attention width (arXiv:1708.04617)
     bf16: bool = False
     # schema (BASELINE.json:7-9)
     vocab_size: int = 100_000
@@ -70,6 +71,8 @@ class TrainConfig:
             kw["mode"] = self.pnn_mode
         if self.model == "dcn":
             kw["n_cross"] = self.n_cross
+        if self.model == "afm":
+            kw["attention_dim"] = self.attention_dim
         return kw
 
     def to_json(self) -> str:

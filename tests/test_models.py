@@ -123,3 +123,31 @@ def test_per_slot_dims_models_run():
         ids = jnp.asarray(rng.integers(0, 100, size=(3, 26)).astype(np.int32))
         logits = eng.logits(state, dense, ids)
         assert np.isfinite(np.asarray(logits)).all()
+
+
+def test_bench_configs_expressible_via_trainconfig():
+    """VERDICT r3 #8: every bench.py MODEL_KW config must be reproducible
+    from a TrainConfig (i.e. via `train.py --set`), so benched models are
+    trainable from the CLI with identical architecture."""
+    import importlib.util
+    import os
+
+    from recmodels_tpu.utils.config import TrainConfig
+
+    spec = importlib.util.spec_from_file_location(
+        "bench_mod", os.path.join(os.path.dirname(__file__), "..", "bench.py")
+    )
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+
+    remap = {"mode": "pnn_mode"}  # bench kw name -> TrainConfig field
+    for model, kw in bench.MODEL_KW.items():
+        fields = {remap.get(k, k): v for k, v in kw.items()}
+        cfg = TrainConfig(model=model, **fields)
+        got = cfg.model_kwargs()
+        for k, v in kw.items():
+            assert k in got, f"{model}: {k} not plumbed through TrainConfig"
+            assert got[k] == (tuple(v) if isinstance(v, (list, tuple)) else v), (
+                model, k, got[k], v)
+        # and the config round-trips through JSON (ckpt-dir reproducibility)
+        assert TrainConfig.from_json(cfg.to_json()).model_kwargs() == got

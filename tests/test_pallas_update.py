@@ -120,3 +120,81 @@ def test_split_exact_bf16_roundtrips_f32():
     assert all(p.dtype == jnp.bfloat16 for p in parts) and len(parts) == 3
     total = sum(p.astype(jnp.float32) for p in parts)
     np.testing.assert_array_equal(np.asarray(total), x)
+
+
+def _setup_adam(rows=2048, dim=17, n=700, seed=3):
+    rng = np.random.default_rng(seed)
+    table = jnp.asarray(rng.normal(size=(rows, dim)).astype(np.float32))
+    m = jnp.asarray(rng.normal(size=(rows, dim)).astype(np.float32) * 0.01)
+    v = jnp.asarray((np.abs(rng.normal(size=(rows, dim))) * 0.01).astype(np.float32))
+    ids = jnp.asarray(rng.integers(0, rows, size=(n,)).astype(np.int32))
+    grads = jnp.asarray(rng.normal(size=(n, dim)).astype(np.float32))
+    return table, m, v, ids, grads
+
+
+def test_packed_adam_kernel_matches_lazy_adam_oracle():
+    """sorted_adam_update_packed vs optim.sparse_adam (dedup + apply),
+    DUPLICATE ids included, on the packed layout (VERDICT r3 #2 'oracle
+    parity test vs sparse_adam.apply incl duplicates')."""
+    from recmodels_tpu.embedding import pallas_gather
+    from recmodels_tpu.embedding.optim import sparse_adam
+
+    table, m, v, ids, grads = _setup_adam()
+    rows, dim = table.shape
+    lr, step = 0.05, 7
+    b1, b2, eps = 0.9, 0.999, 1e-8
+
+    # oracle: dedup + lazy-adam on the 2-D master
+    uids, gsum, _ = dedup_segment_sum(ids, grads, rows)
+    opt = sparse_adam(b1=b1, b2=b2, eps=eps)
+    t_r, st_r = opt.apply(table, {"m": m, "v": v}, uids, gsum,
+                          jnp.asarray(step), lr)
+
+    # kernel: raw sorted stream on the packed layout
+    tr = 512
+    packed_t = pallas_gather.pack(table, tr)
+    packed_m = pallas_gather.pack(m, tr)
+    packed_v = pallas_gather.pack(v, tr)
+    order = jnp.argsort(ids)
+    t_k, m_k, v_k = pallas_update.sorted_adam_update_packed(
+        packed_t, packed_m, packed_v, ids[order],
+        jnp.take(grads, order, axis=0), lr, jnp.asarray(step), b1, b2, eps,
+    )
+    for got, want in ((t_k, t_r), (m_k, st_r["m"]), (v_k, st_r["v"])):
+        got2 = np.asarray(pallas_gather.unpack(got, dim))
+        np.testing.assert_allclose(got2, np.asarray(want), rtol=2e-5, atol=1e-6)
+
+
+def test_packed_adam_untouched_rows_bitwise_unchanged():
+    """Lazy semantics: rows outside the id set must not decay (the count
+    feature row gates the moment update on membership, not g != 0)."""
+    from recmodels_tpu.embedding import pallas_gather
+
+    table, m, v, ids, grads = _setup_adam(n=40)
+    rows, dim = table.shape
+    # include a touched row whose grads sum EXACTLY to zero: it must still
+    # decay (membership, not g != 0)
+    ids = jnp.concatenate([ids, jnp.asarray([123, 123], jnp.int32)])
+    gz = np.zeros((2, dim), np.float32)
+    gz[0] = 1.5
+    gz[1] = -1.5
+    grads = jnp.concatenate([grads, jnp.asarray(gz)])
+    tr = 512
+    order = jnp.argsort(ids)
+    t_k, m_k, v_k = pallas_update.sorted_adam_update_packed(
+        pallas_gather.pack(table, tr), pallas_gather.pack(m, tr),
+        pallas_gather.pack(v, tr), ids[order],
+        jnp.take(grads, order, axis=0), 0.05, jnp.asarray(0), 0.9, 0.999, 1e-8,
+    )
+    t2 = np.asarray(pallas_gather.unpack(t_k, dim))
+    m2 = np.asarray(pallas_gather.unpack(m_k, dim))
+    v2 = np.asarray(pallas_gather.unpack(v_k, dim))
+    touched = set(np.asarray(ids).tolist())
+    untouched = [r for r in range(rows) if r not in touched][:30]
+    np.testing.assert_array_equal(t2[untouched], np.asarray(table)[untouched])
+    np.testing.assert_array_equal(m2[untouched], np.asarray(m)[untouched])
+    np.testing.assert_array_equal(v2[untouched], np.asarray(v)[untouched])
+    # zero-sum duplicate row: moments DID decay (m *= b1), table moved only
+    # by the (zero) grad term
+    np.testing.assert_allclose(m2[123], 0.9 * np.asarray(m)[123], rtol=1e-6)
+    np.testing.assert_allclose(v2[123], 0.999 * np.asarray(v)[123], rtol=1e-6)
