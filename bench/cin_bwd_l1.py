@@ -118,6 +118,7 @@ def bwd_smallhk(xk2, x02, w2, g, tr):
             jax.ShapeDtypeStruct((hk, m * hn), jnp.float32),
         ],
         scratch_shapes=[pltpu.VMEM((hk, m * hn), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 2**20),
     )(g, xk2, x02, w2)
 
 
@@ -197,6 +198,7 @@ def bwd_padt1(xk2, x02, w2, g, tr):
             jax.ShapeDtypeStruct((hk, m * hn), jnp.float32),
         ],
         scratch_shapes=[pltpu.VMEM((hk, m * hn), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 2**20),
         # ADVICE r3 #1: this call passed w2 (shape [hk, m*hn]) while the
         # BlockSpec expected the padded/transposed wp [m*128, hn] — the
         # kernel read a zero-padded wrong block, so candidate B's timing
