@@ -122,6 +122,70 @@ def bench_model(name: str, batch: int, steps: int, warmup: int, vocab: int, dim:
     }
 
 
+def bench_sharded_tax(name: str, batch: int, steps: int, vocab: int,
+                      dim: int, bf16: bool) -> dict:
+    """The sharded-step tax on ONE device (VERDICT r3 item 3): the full
+    shard_map program (capacity-bucketed plan, all_to_all pair — degenerate
+    at n=1 — row-sharded update, psum'd dense grads) on a 1-device mesh vs
+    the LocalTables step at the SAME batch. The ratio bounds real
+    multi-chip efficiency from above: N chips can at best deliver
+    N x local x (1/tax) examples/s before any ICI time."""
+    import numpy as np
+
+    from recmodels_tpu.data import SyntheticSource, criteo_schema
+    from recmodels_tpu.models import build_model
+    from recmodels_tpu.parallel import (
+        build_parallel_engine, build_parallel_scan, make_mesh, shard_state,
+    )
+    from recmodels_tpu.train.engine import Engine
+
+    schema = criteo_schema(vocab_size=vocab, embed_dim=dim)
+    kw = dict(MODEL_KW[name])
+    if bf16 and name not in ("lr", "fm"):
+        kw["compute_dtype"] = jnp.bfloat16
+
+    def eps_of(scan, state):
+        src = iter(SyntheticSource(schema, batch_size=batch, seed=1))
+        ds, iss, ls = zip(*((b.dense, b.ids, b.labels)
+                            for b, _ in zip(src, range(steps))))
+        xs = (jnp.asarray(np.stack(ds)), jnp.asarray(np.stack(iss)),
+              jnp.asarray(np.stack(ls)))
+        small = tuple(x[:1] for x in xs)
+        state, m = scan(state, *small)
+        float(m["loss"])
+        state, m = scan(state, *xs)
+        float(m["loss"])
+
+        def run(sb):
+            nonlocal state
+            t0 = time.time()
+            state, m = scan(state, *sb)
+            float(m["loss"])
+            return time.time() - t0
+
+        t1 = min(run(small) for _ in range(3))
+        t2 = min(run(xs) for _ in range(3))
+        return batch / max((t2 - t1) / (steps - 1), 1e-9)
+
+    model = build_model(name, schema, **kw)
+    eng_l = Engine(model, dense_lr=1e-3, emb_lr=1e-2)
+    eps_local = eps_of(eng_l.jit_train_scan(), eng_l.init(jax.random.key(0)))
+
+    mesh = make_mesh(1)
+    model2 = build_model(name, schema, **kw)
+    eng_s = build_parallel_engine(model2, mesh, dense_lr=1e-3, emb_lr=1e-2)
+    state_s = shard_state(eng_s.init(jax.random.key(0)), mesh)
+    eps_shard = eps_of(build_parallel_scan(eng_s, mesh), state_s)
+    return {
+        "model": name,
+        "examples_per_sec_local": round(eps_local, 1),
+        "examples_per_sec_sharded_1dev": round(eps_shard, 1),
+        "sharded_step_tax": round(eps_local / max(eps_shard, 1e-9), 4),
+        "batch": batch,
+        "device": str(jax.devices()[0]),
+    }
+
+
 def bench_infer(name: str, batch: int, steps: int, vocab: int, dim: int,
                 bf16: bool) -> dict:
     """Forward-only (serving) throughput: a lax.scan of ``steps`` logits
@@ -272,7 +336,24 @@ def main():
                     help="scaling mode: weak-scaling efficiency on an N-device "
                          "mesh (re-execs onto N fake CPU devices if fewer are attached)")
     ap.add_argument("--batch-per-device", type=int, default=4096)
+    ap.add_argument("--sharded-tax", action="store_true",
+                    help="measure the 1-device shard_map program vs "
+                         "LocalTables at the same batch (multi-chip "
+                         "efficiency upper bound)")
     args = ap.parse_args()
+
+    if args.sharded_tax:
+        batch = args.batch or DEFAULT_BATCH.get(args.model, DEFAULT_BATCH_OTHER)
+        r = bench_sharded_tax(args.model, batch, max(args.steps, 8),
+                              args.vocab, args.dim, bf16=not args.no_bf16)
+        print(json.dumps({
+            "metric": f"{args.model}_sharded_step_tax",
+            "value": r["sharded_step_tax"],
+            "unit": "x_local_step_time",
+            "vs_baseline": 1.0,
+            **r,
+        }))
+        return
 
     if args.devices:
         if len(jax.devices()) < args.devices and not os.environ.get("RECMODELS_BENCH_CPU"):

@@ -48,6 +48,43 @@ def build_source(cfg: TrainConfig, schema: Schema, spec: str, seed: int,
     )
 
 
+_POOL_SRC = None
+
+
+def _pool_init(src_bytes: bytes) -> None:
+    import pickle
+
+    global _POOL_SRC
+    _POOL_SRC = pickle.loads(src_bytes)
+
+
+def _pool_make(step: int):
+    b = _POOL_SRC._make(step)
+    return b.dense, b.ids, b.labels
+
+
+def make_producer_pool(source, workers: int):
+    """Parallel batch-generation pool for RANDOM-ACCESS sources (pure
+    ``_make(step)`` — SyntheticSource). The single-threaded generator
+    measured 400k examples/s at the flagship shape, capping train.py at
+    ~90k end-to-end while bench.py ran 1.03M (VERDICT r3 item 5); numpy
+    generation holds the GIL, so threads don't scale — this uses SPAWNED
+    processes (fork would duplicate live TPU/tunnel handles) whose children
+    import only the numpy-side data modules. Returns (pool, batch_iter) or
+    None when the source does not support random access."""
+    import multiprocessing as mp
+    import pickle
+
+    from recmodels_tpu.data import SyntheticSource
+
+    if not isinstance(source, SyntheticSource) or workers <= 1:
+        return None
+    ctx = mp.get_context("spawn")
+    pool = ctx.Pool(workers, initializer=_pool_init,
+                    initargs=(pickle.dumps(source),))
+    return pool
+
+
 class Trainer:
     """Trainer; picks local vs sharded tables by device count.
 
@@ -190,7 +227,28 @@ class Trainer:
         k = max(1, cfg.scan_steps)
         total = cfg.steps - start_step
         plan = [k] * (total // k) + ([total % k] if total % k else [])
-        it = iter(source)
+        workers = cfg.producer_workers
+        if workers == 0:  # auto: parallel generation only for synthetic data
+            workers = min(8, (os.cpu_count() or 4) // 2) if cfg.data == "synthetic" else 1
+        pool = make_producer_pool(source, workers)
+        if pool is not None:
+            # pure random-access batches: generate in worker processes,
+            # advance the source's cursor locally so state()/resume is
+            # unchanged
+            s0 = source.state()["step"]
+            gen = pool.imap(_pool_make, range(s0, s0 + total))
+
+            def _next_batch():
+                d, i, l = next(gen)
+                source._step += 1
+                from recmodels_tpu.data.criteo import Batch
+
+                return Batch(dense=d, ids=i, labels=l)
+        else:
+            it = iter(source)
+
+            def _next_batch():
+                return next(it)
         q: queue.Queue = queue.Queue(maxsize=max(1, cfg.prefetch_batches))
         stop = threading.Event()
         err: list[BaseException] = []
@@ -202,7 +260,7 @@ class Trainer:
                 for kk in plan:
                     ds, iss, ls = [], [], []
                     for _ in range(kk):
-                        b = next(it)
+                        b = _next_batch()
                         ds.append(b.dense)
                         iss.append(b.ids)
                         ls.append(b.labels)
@@ -260,6 +318,10 @@ class Trainer:
                     scalars = {
                         "loss": float(m["loss"]),
                         "examples_per_sec": eps,
+                        # dropped-lookup count: live only with SHARDED
+                        # tables (capacity_factor sizing); LocalTables
+                        # never drops, so single-device runs always log 0
+                        # (engine.LocalTables.gather docstring)
                         "embedding_overflow": float(m.get("overflow", 0)),
                     }
                     self.logger.log_scalars(step_no, scalars)
@@ -270,6 +332,8 @@ class Trainer:
                     self.ckpt.save(step_no, state, data_state=cursor)
         finally:
             stop.set()
+            if pool is not None:
+                pool.terminate()
         if cfg.eval_every and (cfg.steps % cfg.eval_every) != 0:
             final = self.evaluate(state, cfg.steps)
         if self.ckpt is not None:

@@ -51,6 +51,10 @@ class TrainConfig:
     # host dispatch latency; 1 keeps the step-at-a-time path.
     scan_steps: int = 1
     prefetch_batches: int = 2  # host-side parse/stack pipeline depth
+    # parallel batch-generation workers (spawned processes) for
+    # random-access sources (synthetic). 0 = auto (min(8, cpus/2) for
+    # synthetic data, 1 otherwise); 1 = in-thread generation.
+    producer_workers: int = 0
     # io
     ckpt_dir: str | None = None
     ckpt_every: int = 1000
