@@ -401,6 +401,91 @@ class Engine:
         )
         return new_state, {"loss": loss, "overflow": overflow}
 
+    # ------------------------------------------------- gradient accumulation
+    def train_step_accum(self, state: TrainState, dense, ids, labels):
+        """One optimizer step from A accumulated micro-batches (SURVEY.md
+        §2c "optional batch-split accumulation"; the reference's per-core
+        replica pre-aggregation shape). dense [A, Bm, F], ids [A, Bm, S],
+        labels [A, Bm]: forward/backward runs per micro-batch (peak
+        activation memory is ONE micro-batch — XLA chains the unrolled
+        iterations through the accumulators), gradients average across
+        micro-batches, then BOTH optimizers apply once. Numerically this
+        equals train_step on the concatenated [A·Bm] batch up to f32
+        summation order: dense grads are means-of-means (equal micro
+        sizes), and the embedding update sees the CONCATENATED id/grad
+        stream — the same duplicate-sum semantics, so the packed Pallas
+        kernels ride the batched per-slot sort on the [A·Bm, S] ids."""
+        a = dense.shape[0]
+        g_dense_acc = None
+        loss_acc = 0.0
+        rows_grads = []
+        gids_list = []
+        for i in range(a):  # static unroll: A is small (2-8)
+            gids = self._group_ids(ids[i])
+            rows, overflow = self.table_strategy.gather(
+                state.emb_params, gids, self._gather_dtype, state.emb_opt,
+                with_stats=True,
+            )
+
+            def loss_fn(dense_params, rows, i=i):
+                logits = self._forward_from_rows(dense_params, rows, dense[i])
+                assert logits.shape == labels[i].shape
+                return jnp.mean(
+                    optax.sigmoid_binary_cross_entropy(logits, labels[i])
+                )
+
+            loss, (g_dense, g_rows) = jax.value_and_grad(
+                loss_fn, argnums=(0, 1)
+            )(state.dense_params, rows)
+            loss_acc = loss_acc + loss
+            g_dense_acc = (
+                g_dense
+                if g_dense_acc is None
+                else jax.tree.map(jnp.add, g_dense_acc, g_dense)
+            )
+            gids_list.append(gids)
+            rows_grads.append(g_rows)
+        inv_a = 1.0 / a
+        loss = loss_acc * inv_a
+        g_dense = jax.tree.map(lambda g: g * inv_a, g_dense_acc)
+        # concatenate the micro-batches' id/grad streams along the batch
+        # axis; grads scale by 1/A so per-row sums match the full-batch mean
+        gids_cat = jax.tree.map(
+            lambda *xs: jnp.concatenate(xs, axis=0), *gids_list
+        )
+        g_rows_cat = jax.tree.map(
+            lambda *xs: jnp.concatenate(xs, axis=0) * inv_a, *rows_grads
+        )
+        if self.axis_name is not None:
+            loss = jax.lax.pmean(loss, self.axis_name)
+            g_dense = jax.lax.pmean(g_dense, self.axis_name)
+            inv = 1.0 / jax.lax.axis_size(self.axis_name)
+            g_rows_cat = jax.tree.map(lambda g: g * inv, g_rows_cat)
+        updates, dense_opt = self.dense_tx.update(
+            g_dense, state.dense_opt, state.dense_params
+        )
+        dense_params = optax.apply_updates(state.dense_params, updates)
+        lr = (
+            self.emb_lr_schedule(state.step)
+            if self.emb_lr_schedule is not None
+            else jnp.asarray(self.emb_lr, jnp.float32)
+        )
+        emb_params, emb_opt = self.table_strategy.apply_grads(
+            state.emb_params, state.emb_opt, gids_cat, g_rows_cat,
+            state.step, lr,
+        )
+        new_state = TrainState(
+            step=state.step + 1,
+            dense_params=dense_params,
+            dense_opt=dense_opt,
+            emb_params=emb_params,
+            emb_opt=emb_opt,
+        )
+        return new_state, {"loss": loss}
+
+    def jit_train_step_accum(self, donate: bool = True):
+        return jax.jit(self.train_step_accum, donate_argnums=(0,) if donate else ())
+
     # ----------------------------------------------------------- multi-step
     def train_scan(self, state: TrainState, dense, ids, labels):
         """K steps in ONE XLA program via lax.scan (dense/ids/labels stacked

@@ -48,41 +48,19 @@ def build_source(cfg: TrainConfig, schema: Schema, spec: str, seed: int,
     )
 
 
-_POOL_SRC = None
-
-
-def _pool_init(src_bytes: bytes) -> None:
-    import pickle
-
-    global _POOL_SRC
-    _POOL_SRC = pickle.loads(src_bytes)
-
-
-def _pool_make(step: int):
-    b = _POOL_SRC._make(step)
-    return b.dense, b.ids, b.labels
-
-
 def make_producer_pool(source, workers: int):
     """Parallel batch-generation pool for RANDOM-ACCESS sources (pure
     ``_make(step)`` — SyntheticSource). The single-threaded generator
     measured 400k examples/s at the flagship shape, capping train.py at
     ~90k end-to-end while bench.py ran 1.03M (VERDICT r3 item 5); numpy
     generation holds the GIL, so threads don't scale — this uses SPAWNED
-    processes (fork would duplicate live TPU/tunnel handles) whose children
-    import only the numpy-side data modules. Returns (pool, batch_iter) or
-    None when the source does not support random access."""
-    import multiprocessing as mp
-    import pickle
+    processes whose children import only the jax-free data modules (see
+    data/genpool.py for why a child must never touch the tunneled TPU
+    backend). Returns the pool, or None when the source does not support
+    random access."""
+    from recmodels_tpu.data import genpool
 
-    from recmodels_tpu.data import SyntheticSource
-
-    if not isinstance(source, SyntheticSource) or workers <= 1:
-        return None
-    ctx = mp.get_context("spawn")
-    pool = ctx.Pool(workers, initializer=_pool_init,
-                    initargs=(pickle.dumps(source),))
-    return pool
+    return genpool.make_pool(source, workers)
 
 
 class Trainer:
@@ -236,7 +214,9 @@ class Trainer:
             # advance the source's cursor locally so state()/resume is
             # unchanged
             s0 = source.state()["step"]
-            gen = pool.imap(_pool_make, range(s0, s0 + total))
+            from recmodels_tpu.data.genpool import pool_make
+
+            gen = pool.imap(pool_make, range(s0, s0 + total))
 
             def _next_batch():
                 d, i, l = next(gen)
