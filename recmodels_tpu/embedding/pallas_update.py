@@ -537,6 +537,13 @@ def _adam_packed_kernel(pos_ref, sc_ref, uids_ref, *rest, b1, b2, eps,
         # padded wider than the grad width)
         touched = g[d_count : d_count + 1, :] > 0.5  # [1, tr]
         g = g[:d, :]
+        if d > d_count:
+            # the table's sublane padding (columns d_count..d-1) must stay
+            # untouched: the slice above keeps the count row (index d_count)
+            # inside g, which would otherwise feed a spurious Adam update
+            # into the padding columns of every touched row (ADVICE r4 #1)
+            row = jax.lax.broadcasted_iota(jnp.int32, (d, 1), 0)
+            g = jnp.where(row < d_count, g, 0.0)
         m_new = jnp.where(touched, b1 * m_ref[r] + (1.0 - b1) * g, m_ref[r])
         v_new = jnp.where(touched, b2 * v_ref[r] + (1.0 - b2) * g * g, v_ref[r])
         delta = jnp.where(

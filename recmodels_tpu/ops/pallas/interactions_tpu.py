@@ -549,12 +549,16 @@ def _cin2_fwd_call(x02, w1, w2, d):
         x1_ref[:] = x1
         t2 = jnp.dot(x1, w2_ref[:], preferred_element_type=jnp.float32
                      ).astype(jnp.bfloat16)
-        acc = t2[:, 0:h2] * x0[:, 0:1]
+        # fold accumulates in f32 (ADVICE r4 #2): a bf16 acc drifts ~m·2^-9
+        # worst-case over the m=26 terms and silently changes forward
+        # numerics vs the composed per-layer path (f32 t, f32 accumulation)
+        x0f = x0.astype(jnp.float32)
+        acc = t2[:, 0:h2].astype(jnp.float32) * x0f[:, 0:1]
         for i in range(1, m):
-            acc = acc + t2[:, i * h2 : (i + 1) * h2] * x0[:, i : i + 1]
+            acc = acc + t2[:, i * h2 : (i + 1) * h2].astype(jnp.float32) * x0f[:, i : i + 1]
         p1_ref[:] = jnp.sum(x1.reshape(nb, d, h1).astype(jnp.float32), axis=1
                             ).astype(p1_ref.dtype)
-        p2_ref[:] = jnp.sum(acc.reshape(nb, d, h2).astype(jnp.float32), axis=1
+        p2_ref[:] = jnp.sum(acc.reshape(nb, d, h2), axis=1
                             ).astype(p2_ref.dtype)
 
     return pl.pallas_call(

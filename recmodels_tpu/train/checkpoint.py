@@ -124,7 +124,13 @@ class CheckpointManager:
         Every embedding table / optimizer-state tensor is converted
         source-geometry -> canonical [rows, dim] -> target-geometry; dense
         params/opt and the step counter copy through unchanged. Returns
-        (state, data_state) like ``restore``."""
+        (state, data_state) like ``restore``.
+
+        SINGLE-HOST / fully-addressable only (ADVICE r4 #4): each restored
+        leaf is materialized whole on this host (``np.asarray``) before
+        conversion, so every saved array must be addressable here and fit
+        host memory. On a genuinely multi-host sharded checkpoint, restore
+        on one host (or use plain ``restore`` with matching geometry)."""
         step = step if step is not None else self._mgr.latest_step()
         if step is None:
             raise FileNotFoundError("no checkpoint found")

@@ -90,7 +90,10 @@ def auc_compute(state: AUCState) -> dict:
     wins = float((pos * (cum_neg + 0.5 * neg)).sum())
     denom = max(total_pos * total_neg, 1.0)
     auc = wins / denom
-    count = float(jax.device_get(state.count))
+    # denominator from the histogram sums, NOT state.count: the i32 scalar
+    # wraps past 2^31 examples in one stream, while per-bin counts stay
+    # exact (ADVICE r4 #3). state.count is still reported for callers.
+    count = float(total_pos + total_neg)
     logloss = float(jax.device_get(state.loss_sum)) / max(count, 1.0)
     half = state.pos_hist.shape[0] // 2  # bin index of score 0.5
     correct = pos[half:].sum() + neg[:half].sum()

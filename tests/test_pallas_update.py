@@ -198,3 +198,26 @@ def test_packed_adam_untouched_rows_bitwise_unchanged():
     # by the (zero) grad term
     np.testing.assert_allclose(m2[123], 0.9 * np.asarray(m)[123], rtol=1e-6)
     np.testing.assert_allclose(v2[123], 0.999 * np.asarray(v)[123], rtol=1e-6)
+
+
+def test_packed_adam_padding_columns_stay_zero():
+    """Sublane-padding feature columns (d_count..d8-1 of the packed layout,
+    which include the injected count row's index) must come out of the Adam
+    kernel exactly as they went in — zero (ADVICE r4 #1: the count row
+    survived the g[:d] slice and fed a spurious update into them)."""
+    from recmodels_tpu.embedding import pallas_gather
+
+    table, m, v, ids, grads = _setup_adam(dim=17)  # d8 = 24 > d_count = 17
+    tr = 512
+    pt = pallas_gather.pack(table, tr)
+    pm = pallas_gather.pack(m, tr)
+    pv = pallas_gather.pack(v, tr)
+    assert pt.shape[1] == 24
+    order = jnp.argsort(ids)
+    t_k, m_k, v_k = pallas_update.sorted_adam_update_packed(
+        pt, pm, pv, ids[order], jnp.take(grads, order, axis=0),
+        0.05, jnp.asarray(3), 0.9, 0.999, 1e-8,
+    )
+    for got in (t_k, m_k, v_k):
+        pad = np.asarray(got)[:, 17:, :]
+        np.testing.assert_array_equal(pad, np.zeros_like(pad))
