@@ -135,7 +135,7 @@ def choose_dense_update(num_rows: int, dim: int, n_ids: int,
 
 
 def apply_updates(opt: "SparseOptimizer", table, state, ids_flat, grads_flat, step, lr,
-                  ids_2d=None):
+                  ids_2d=None, presorted: bool = False):
     """Route one group's update to the best implementation:
 
     1. Pallas sorted-scatter sweep (Adagrad, 2-D tile-divisible tables on
@@ -143,8 +143,23 @@ def apply_updates(opt: "SparseOptimizer", table, state, ids_flat, grads_flat, st
        (bench/profile_scatter.py), the kernel turns it into MXU work;
     2. dense full-table update (small tables / dense-semantics optimizers);
     3. sorted-sparse gather/scatter fallback (lazy Adam, odd shapes).
+
+    ``presorted=True``: caller guarantees ids_flat is already ascending and
+    grads_flat is in the same order (e.g. the sharded owner-side stream,
+    pre-sorted by construction) — the kernel paths skip their sort+permute.
     """
     from recmodels_tpu.embedding import pallas_update
+
+    def _sorted_stream():
+        if presorted:
+            return ids_flat, None
+        if ids_2d is not None:
+            # batched per-slot sort (see slot_sorted_ids): same stream, same
+            # duplicate order, log²(16k) instead of log²(426k) sort depth
+            s, o, _ = slot_sorted_ids(ids_2d)
+            return s, o
+        n = ids_flat.shape[0]
+        return jax.lax.sort_key_val(ids_flat, jnp.arange(n, dtype=jnp.int32))
 
     if (opt.name == "adam" and table.ndim == 3
             and pallas_update.supported(table)):
@@ -153,18 +168,12 @@ def apply_updates(opt: "SparseOptimizer", table, state, ids_flat, grads_flat, st
         # contraction sums duplicates AND carries a count feature whose
         # nonzero entries are exactly the touched rows, so lazy decay
         # applies to id-set membership, not g != 0.
-        if ids_2d is not None:
-            sorted_ids, order, _ = slot_sorted_ids(ids_2d)
-        else:
-            n = ids_flat.shape[0]
-            sorted_ids, order = jax.lax.sort_key_val(
-                ids_flat, jnp.arange(n, dtype=jnp.int32)
-            )
+        sorted_ids, order = _sorted_stream()
         h = opt.hyper
         table, m, v = pallas_update.sorted_adam_update_packed(
             table, state["m"], state["v"], sorted_ids,
-            jnp.take(grads_flat, order, axis=0), lr, step,
-            h["b1"], h["b2"], h["eps"],
+            grads_flat if order is None else jnp.take(grads_flat, order, axis=0),
+            lr, step, h["b1"], h["b2"], h["eps"],
         )
         return table, {"m": m, "v": v}
     if opt.name == "adagrad" and pallas_update.supported(table):
@@ -175,15 +184,7 @@ def apply_updates(opt: "SparseOptimizer", table, state, ids_flat, grads_flat, st
         # permutation — argsort + ids[order] would re-gather the ids
         # (1.5ms of random access at 213k ids). The identical sort_key_val
         # appears in the Pallas sweep gather's plan; XLA CSE merges them.
-        if ids_2d is not None:
-            # batched per-slot sort (see slot_sorted_ids): same stream, same
-            # duplicate order, log²(16k) instead of log²(426k) sort depth
-            sorted_ids, order, _ = slot_sorted_ids(ids_2d)
-        else:
-            n = ids_flat.shape[0]
-            sorted_ids, order = jax.lax.sort_key_val(
-                ids_flat, jnp.arange(n, dtype=jnp.int32)
-            )
+        sorted_ids, order = _sorted_stream()
         h = opt.hyper
         fn = (
             pallas_update.sorted_adagrad_update_packed
@@ -192,7 +193,8 @@ def apply_updates(opt: "SparseOptimizer", table, state, ids_flat, grads_flat, st
         )
         table, acc = fn(
             table, state["acc"], sorted_ids,
-            jnp.take(grads_flat, order, axis=0), lr, h["eps"],
+            grads_flat if order is None else jnp.take(grads_flat, order, axis=0),
+            lr, h["eps"],
         )
         return table, {"acc": acc}
     # XLA fallback routes assume f32 grad math (segment sums, scatter-adds)

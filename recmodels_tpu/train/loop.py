@@ -122,10 +122,20 @@ class Trainer:
                 **sched_kw,
             )
             self._shard = lambda s: shard_state(s, self.mesh)
-            self.train_step, self.eval_step = build_parallel_steps(self.engine, self.mesh)
-            self.train_scan = (
-                build_parallel_scan(self.engine, self.mesh) if cfg.scan_steps > 1 else None
-            )
+            if cfg.accum_steps > 1:
+                from recmodels_tpu.parallel import build_parallel_accum
+
+                self.train_step = build_parallel_accum(self.engine, self.mesh)
+                _, self.eval_step = build_parallel_steps(self.engine, self.mesh)
+                self.train_scan = (
+                    build_parallel_accum(self.engine, self.mesh, scan=True)
+                    if cfg.scan_steps > 1 else None
+                )
+            else:
+                self.train_step, self.eval_step = build_parallel_steps(self.engine, self.mesh)
+                self.train_scan = (
+                    build_parallel_scan(self.engine, self.mesh) if cfg.scan_steps > 1 else None
+                )
         else:
             self.mesh = None
             self.engine = Engine(
@@ -137,9 +147,20 @@ class Trainer:
                 **sched_kw,
             )
             self._shard = lambda s: s
-            self.train_step = self.engine.jit_train_step()
             self.eval_step = self.engine.jit_eval_step()
-            self.train_scan = self.engine.jit_train_scan() if cfg.scan_steps > 1 else None
+            if cfg.accum_steps > 1:
+                self.train_step = self.engine.jit_train_step_accum()
+                self.train_scan = (
+                    self.engine.jit_train_scan_accum() if cfg.scan_steps > 1 else None
+                )
+            else:
+                self.train_step = self.engine.jit_train_step()
+                self.train_scan = self.engine.jit_train_scan() if cfg.scan_steps > 1 else None
+        if cfg.accum_steps > 1 and cfg.batch_size % cfg.accum_steps:
+            raise ValueError(
+                f"batch_size {cfg.batch_size} not divisible by accum_steps"
+                f" {cfg.accum_steps}"
+            )
 
         self.ckpt = (
             CheckpointManager(cfg.ckpt_dir, save_interval_steps=cfg.ckpt_every)
@@ -278,12 +299,31 @@ class Trainer:
                 last_cursor = cursor
                 if self.profile_dir is not None and n_sb == 2:
                     jax.profiler.start_trace(self.profile_dir)
+                a = self.cfg.accum_steps
+                if a > 1:
+                    # split each batch into A micro-batches: [.., B, ...] ->
+                    # [.., A, B/A, ...] (train_step_accum consumes the
+                    # concatenated stream; same optimizer math as full-batch)
+                    import numpy as np
+
+                    lead = 1 if (kk > 1 or k > 1) else 0  # scan axis present?
+                    arrays = tuple(
+                        np.reshape(
+                            x,
+                            x.shape[:lead] + (a, x.shape[lead] // a) + x.shape[lead + 1:],
+                        )
+                        for x in map(np.asarray, arrays)
+                    )
                 if kk == 1 and k == 1:
-                    dense, ids, labels = (self._put(a) for a in arrays)
+                    dense, ids, labels = (
+                        self._put(x, leading_dims=1 + (a > 1)) for x in arrays
+                    )
                     state, m = self.train_step(state, dense, ids, labels)
                 else:
                     # jit recompiles once for a ragged tail superbatch (kk < k)
-                    dense, ids, labels = (self._put(a, leading_dims=2) for a in arrays)
+                    dense, ids, labels = (
+                        self._put(x, leading_dims=2 + (a > 1)) for x in arrays
+                    )
                     state, m = self.train_scan(state, dense, ids, labels)
                 prev = step_no
                 step_no += kk

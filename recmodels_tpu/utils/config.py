@@ -50,6 +50,12 @@ class TrainConfig:
     # dispatch: steps per device program (lax.scan superbatch). >1 amortizes
     # host dispatch latency; 1 keeps the step-at-a-time path.
     scan_steps: int = 1
+    # gradient accumulation (SURVEY §2c "optional batch-split accumulation"):
+    # >1 splits each batch into this many micro-batches, runs fwd/bwd per
+    # micro-batch (peak activation memory = one micro-batch) and applies
+    # BOTH optimizers once on the averaged grads — numerically the
+    # full-batch step up to f32 summation order. batch_size must divide.
+    accum_steps: int = 1
     prefetch_batches: int = 2  # host-side parse/stack pipeline depth
     # parallel batch-generation workers (spawned processes) for
     # random-access sources (synthetic). 0 = auto (min(8, cpus/2) for
