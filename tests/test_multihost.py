@@ -235,3 +235,124 @@ def test_two_process_trainer_product_path(tmp_path):
                         jnp.asarray(np.concatenate([b0.labels, b1.labels])))
     out = metrics_lib.auc_compute(auc)
     assert abs(float(out["auc"]) - w0["auc"]) < 1e-3, (out["auc"], w0["auc"])
+
+
+KILL_WORKER = r"""
+import hashlib
+import os
+import signal
+import sys
+
+import jax
+
+coord, pid, ckpt_dir, kill_at = sys.argv[1], int(sys.argv[2]), sys.argv[3], int(sys.argv[4])
+jax.config.update("jax_platforms", "cpu")
+jax.distributed.initialize(coordinator_address=coord, num_processes=2, process_id=pid)
+
+import numpy as np
+import jax.numpy as jnp
+from recmodels_tpu.train.loop import Trainer
+from recmodels_tpu.utils.config import TrainConfig
+
+cfg = TrainConfig(model="fm", vocab_size=400, embed_dim=8, batch_size=32,
+                  steps=8, scan_steps=1, eval_every=0, log_every=100,
+                  dense_lr=1e-2, emb_lr=5e-2, capacity_factor=4.0,
+                  ckpt_dir=ckpt_dir, ckpt_every=2, seed=0)
+tr = Trainer(cfg)
+
+if kill_at > 0 and pid == 1:
+    # fault-injection hook (SURVEY.md par 5.3): SIGKILL THIS host process
+    # mid-run, after `kill_at` optimizer steps have dispatched
+    real_step = tr.train_step
+    n = [0]
+    def hooked(*a):
+        if n[0] == kill_at:
+            os.kill(os.getpid(), signal.SIGKILL)
+        n[0] += 1
+        return real_step(*a)
+    tr.train_step = hooked
+
+tr.run()
+state = tr.state
+h = hashlib.sha256()
+for leaf in jax.tree_util.tree_leaves(state):
+    # fully-addressable on a 2-process CPU mesh? tables are row-sharded:
+    # hash the process-local shards plus replicated leaves deterministically
+    arr = np.asarray(jax.device_get([s.data for s in leaf.addressable_shards][0])) \
+        if hasattr(leaf, "addressable_shards") else np.asarray(leaf)
+    h.update(arr.tobytes())
+print("FINAL_HASH", pid, int(state.step), h.hexdigest())
+"""
+
+
+def _run_pair(worker, args_fn, timeout=300):
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    coord = f"127.0.0.1:{port}"
+    env = dict(os.environ)
+    env["PYTHONPATH"] = "/root/repo:" + env.get("PYTHONPATH", "")
+    env["XLA_FLAGS"] = " ".join(
+        f for f in env.get("XLA_FLAGS", "").split() if "host_platform_device_count" not in f
+    )
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", worker, coord, str(i)] + args_fn(i),
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env,
+            cwd="/root/repo",
+        )
+        for i in range(2)
+    ]
+    return procs
+
+
+@pytest.mark.slow
+def test_two_process_kill_drill(tmp_path):
+    """SURVEY.md §5.3 / VERDICT r4 missing #4: SIGKILL ONE host process
+    mid-run (after 5 steps; async orbax checkpoints at steps 2/4 in
+    flight), restart BOTH processes, resume, and the final state must be
+    byte-identical to an unkilled control run — the multi-host extension of
+    tests/test_resilience.py's single-process drill."""
+    import time
+
+    def hashes(procs, expect_fail=None):
+        outs = []
+        for i, p in enumerate(procs):
+            try:
+                out, _ = p.communicate(timeout=300)
+            except subprocess.TimeoutExpired:
+                p.kill()
+                out, _ = p.communicate()
+            outs.append(out.decode())
+        res = {}
+        for i, out in enumerate(outs):
+            ls = [l for l in out.splitlines() if l.startswith("FINAL_HASH")]
+            if not ls:
+                assert expect_fail is not None and i in expect_fail, (
+                    f"worker {i} produced no hash:\n{out[-3000:]}")
+                continue
+            _, wpid, step, dig = ls[0].split()
+            res[int(wpid)] = (int(step), dig)
+        return res
+
+    # control: straight 8-step run
+    ctrl = _run_pair(KILL_WORKER, lambda i: [str(tmp_path / "ctrl"), "0"])
+    ctrl_h = hashes(ctrl)
+    assert ctrl_h[0][0] == 8 and ctrl_h[1][0] == 8
+
+    # faulted run: p1 SIGKILLs itself after 5 dispatched steps; p0 then
+    # hangs in a collective — kill it once p1 is dead
+    faulted = _run_pair(KILL_WORKER, lambda i: [str(tmp_path / "kill"), "5"])
+    faulted[1].wait(timeout=300)
+    assert faulted[1].returncode == -9  # SIGKILL'd itself
+    time.sleep(2.0)
+    faulted[0].kill()
+    hashes(faulted, expect_fail={0, 1})
+
+    # restart both processes on the SAME ckpt dir: resume + run to step 8
+    resumed = _run_pair(KILL_WORKER, lambda i: [str(tmp_path / "kill"), "0"])
+    res_h = hashes(resumed)
+    assert res_h[0][0] == 8 and res_h[1][0] == 8
+    # byte-identical final state per process rank vs the control
+    assert res_h[0][1] == ctrl_h[0][1]
+    assert res_h[1][1] == ctrl_h[1][1]
