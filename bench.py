@@ -377,6 +377,11 @@ def main():
             "value": r["scaling_efficiency"],
             "unit": "fraction",
             "vs_baseline": round(r["scaling_efficiency"] / 0.8, 3),  # target >=0.8
+            # CPU fake-device meshes validate the program, not performance:
+            # N devices contend for 2 host cores, so the efficiency number
+            # is core-contention noise (VERDICT r4 weak #4). Downstream
+            # consumers must skip plumbing_only rows when judging perf.
+            "plumbing_only": jax.default_backend() == "cpu",
             **r,
         }))
         return
