@@ -166,39 +166,88 @@ class ShardedTables:
           * the requester readback composes the bucket-slot map with the
             sort's inverse permutation into ONE row-take.
 
+        A second TPU constraint shapes the implementation (round-5 profile,
+        bench/profile_sharded.py): XLA dynamic-INDEX ops (gather/scatter/
+        take) cost ~20-100ns per element on v5e — a single [d·cap] take
+        measured 8ms. Because buckets are contiguous runs of the sorted
+        stream, every buffer move here is expressed as d dynamic-SLICES
+        (and the readback as d dynamic-update-slices into zeros): pure
+        sequential DMA at HBM bandwidth, zero per-element indexing.
+
         Returns (sorted_ids [N], order [N] sorted-pos -> b-major-pos,
-        order_2d [n_g, B], bounds [d+1], slots [N] int32 bucket slot per
-        sorted position with d·cap sentinel for overflow, overflow count).
+        order_2d [n_g, B], bounds [d+1], counts [d], overflow count).
         XLA CSEs all of it between gather and apply_grads (same inputs,
         pure ops), so the plan is computed once per step.
         """
         from recmodels_tpu.embedding.optim import slot_sorted_ids
 
-        n = ids_2d.shape[0] * ids_2d.shape[1]
         d = self.n_shards
         sorted_ids, order, order_2d = slot_sorted_ids(ids_2d)
         boundaries = (jnp.arange(d + 1, dtype=jnp.int32) * rows_per_shard)
         bounds = jnp.searchsorted(
             sorted_ids, boundaries, method="compare_all"
         ).astype(jnp.int32)
-        owner_sorted = (sorted_ids // rows_per_shard).astype(jnp.int32)
-        pos = jnp.arange(n, dtype=jnp.int32) - jnp.take(bounds, owner_sorted)
-        slots = jnp.where(pos < cap, owner_sorted * cap + pos, d * cap)
         counts = bounds[1:] - bounds[:-1]
         overflow = jnp.sum(jnp.maximum(counts - cap, 0))
-        return sorted_ids, order, order_2d, bounds, slots, overflow
+        return sorted_ids, order, order_2d, bounds, counts, overflow
 
-    def _send_ids(self, sorted_ids, bounds, cap):
-        """[d, cap] id buckets as clamped takes of the sorted stream; unfilled
-        slots get the INT32_MAX sentinel, so each row stays sorted."""
+    def _bucketize_ids(self, sorted_ids, bounds, counts, cap):
+        """[N] sorted -> [d, cap] buckets: d dynamic-slices at bounds[o] +
+        an iota<count mask for the INT32_MAX sentinel (each row stays
+        sorted: real ids ascend, sentinels trail)."""
         d = self.n_shards
-        n = sorted_ids.shape[0]
-        take_idx = bounds[:-1, None] + jnp.arange(cap, dtype=jnp.int32)[None, :]
-        valid = take_idx < bounds[1:, None]
-        ids = jnp.take(sorted_ids, jnp.clip(take_idx.reshape(-1), 0, n - 1))
-        return jnp.where(
-            valid.reshape(-1), ids, jnp.iinfo(jnp.int32).max
-        ).reshape(d, cap), take_idx
+        sentinel = jnp.iinfo(jnp.int32).max
+        src = jnp.concatenate(
+            [sorted_ids, jnp.full((cap,), sentinel, jnp.int32)]
+        )
+        buf = jnp.stack(
+            [jax.lax.dynamic_slice(src, (bounds[o],), (cap,)) for o in range(d)]
+        )
+        mask = jnp.arange(cap, dtype=jnp.int32)[None, :] < counts[:, None]
+        return jnp.where(mask, buf, sentinel)
+
+    def _bucketize_rows(self, sorted_rows, bounds, cap):
+        """[N(, D)] sorted-order rows -> [d, cap(, D)] buckets via d
+        dynamic-slices. Tail rows beyond counts[o] carry neighboring
+        buckets' data — harmless: their ids are the sentinel, which every
+        consumer drops (one-hot miss / scatter-drop / zero-fill)."""
+        d = self.n_shards
+        one_d = sorted_rows.ndim == 1
+        pad_shape = (cap,) if one_d else (cap, sorted_rows.shape[1])
+        src = jnp.concatenate(
+            [sorted_rows, jnp.zeros(pad_shape, sorted_rows.dtype)]
+        )
+        if one_d:
+            return jnp.stack(
+                [jax.lax.dynamic_slice(src, (bounds[o],), (cap,)) for o in range(d)]
+            )
+        width = sorted_rows.shape[1]
+        return jnp.stack([
+            jax.lax.dynamic_slice(src, (bounds[o], 0), (cap, width))
+            for o in range(d)
+        ])
+
+    def _unbucketize_rows(self, flat_rows, bounds, cap, n):
+        """[d·cap(, D)] bucket-slot rows -> [N(, D)] sorted order: ascending
+        dynamic-update-slices into zeros. Bucket o's garbage tail (slots
+        counts[o]..cap) lands exactly where bucket o+1's valid data begins,
+        so ascending writes leave every position with its own bucket's row;
+        overflow positions (pos >= cap, only when counts[o] > cap) are
+        never written and stay zero — the drop-lookup contract."""
+        d = self.n_shards
+        one_d = flat_rows.ndim == 1
+        cap_d = cap if one_d else (cap, flat_rows.shape[1])
+        acc_shape = (n + cap,) if one_d else (n + cap, flat_rows.shape[1])
+        acc = jnp.zeros(acc_shape, flat_rows.dtype)
+        for o in range(d):
+            blk = (
+                jax.lax.dynamic_slice(flat_rows, (o * cap,), (cap,))
+                if one_d
+                else jax.lax.dynamic_slice(flat_rows, (o * cap, 0), cap_d)
+            )
+            start = (bounds[o],) if one_d else (bounds[o], 0)
+            acc = jax.lax.dynamic_update_slice(acc, blk, start)
+        return acc[:n]
 
     def _owner_sorted_stream(self, local_idx, rows_per_shard):
         """Owner-side stream prep: OOB/sentinel ids -> rows_per_shard (the
@@ -226,10 +275,10 @@ class ShardedTables:
         n = ids_2d.shape[0] * ids_2d.shape[1]
         one_d = table_local.ndim == 1  # dim-1 tables are stored 1-D
         cap = self._capacity(n)
-        sorted_ids, order, order_2d, bounds, slots, overflow = self._plan(
+        sorted_ids, order, order_2d, bounds, counts, overflow = self._plan(
             ids_2d, rows_per_shard, cap
         )
-        send_ids, _ = self._send_ids(sorted_ids, bounds, cap)
+        send_ids = self._bucketize_ids(sorted_ids, bounds, counts, cap)
         # hop 1: requester -> owner (ids)
         recv_ids = jax.lax.all_to_all(
             send_ids, self.axis_name, split_axis=0, concat_axis=0
@@ -240,8 +289,8 @@ class ShardedTables:
             # packed shard -> owner-side Pallas sorted sweep, directly on the
             # merged stream (identity at d=1). The rows_per_shard sentinel is
             # clamped into range and gathers a real row: harmless, because
-            # requesters only read back the slots they filled (overflow
-            # positions map to the OOB slot d*cap and fill zero below).
+            # the readback only unbucketizes the counts[o] slots each
+            # requester filled (overflow positions stay zero below).
             from recmodels_tpu.embedding import pallas_gather
 
             sidx, perm = self._owner_sorted_stream(local_idx, rows_per_shard)
@@ -265,13 +314,13 @@ class ShardedTables:
             rows.reshape(shape), self.axis_name, split_axis=0, concat_axis=0
         )
         flat_rows = back.reshape((d * cap,) if one_d else (d * cap, -1))
-        # readback: ONE take — bucket-slot map composed with the sort's
-        # inverse (out[i] = flat_rows[slots[inv[i]]]); overflow sentinel
-        # d·cap is OOB and fills zero rows.
+        # readback: unbucketize to sorted order (d update-slices; overflow
+        # rows stay zero), then the SAME un-permute take the local path
+        # pays (LocalTables._gather_packed) — no extra random access.
         from recmodels_tpu.embedding.optim import slot_sorted_inverse
 
-        ridx = jnp.take(slots, slot_sorted_inverse(order_2d))
-        out = flat_rows.at[ridx].get(mode="fill", fill_value=0.0)
+        rows_sorted_b = self._unbucketize_rows(flat_rows, bounds, cap, n)
+        out = jnp.take(rows_sorted_b, slot_sorted_inverse(order_2d), axis=0)
         if with_stats:
             return out, overflow
         return out
@@ -282,24 +331,22 @@ class ShardedTables:
         n = ids_2d.shape[0] * ids_2d.shape[1]
         one_d = grads_flat.ndim == 1  # dim-1 group: grads are [N]
         cap = self._capacity(n)
-        sorted_ids, order, order_2d, bounds, slots, _ = self._plan(
+        sorted_ids, order, order_2d, bounds, counts, _ = self._plan(
             ids_2d, rows_per_shard, cap
         )
-        send_ids, take_idx = self._send_ids(sorted_ids, bounds, cap)
-        # grad buckets: compose bucket-slice indices with the sort
-        # permutation into ONE take of the b-major grad stream (the old path
-        # paid a [N]-row permute take PLUS a [d·cap]-row scatter). Unfilled
-        # slots carry garbage rows — their ids are the sentinel, which every
-        # update path drops (one-hot miss / scatter-drop), so no zeroing.
-        gidx = jnp.take(order, jnp.clip(take_idx.reshape(-1), 0, n - 1))
-        send_grads = jnp.take(grads_flat, gidx, axis=0)
+        send_ids = self._bucketize_ids(sorted_ids, bounds, counts, cap)
+        # grad buckets: ONE permute take to sorted order (identical to the
+        # local path's, so tax-free) + d dynamic-slices. Tail rows beyond
+        # counts[o] carry neighbors' grads — their ids are the sentinel,
+        # which every update path drops (one-hot miss / scatter-drop).
+        sorted_grads = jnp.take(grads_flat, order, axis=0)
+        send_grads = self._bucketize_rows(sorted_grads, bounds, cap)
         # grads ride requester -> owner, aligned with the id buckets
         recv_ids = jax.lax.all_to_all(
             send_ids, self.axis_name, split_axis=0, concat_axis=0
         )
-        a2a_shape = (d, cap) if one_d else (d, cap, grads_flat.shape[-1])
         recv_grads = jax.lax.all_to_all(
-            send_grads.reshape(a2a_shape), self.axis_name, split_axis=0, concat_axis=0
+            send_grads, self.axis_name, split_axis=0, concat_axis=0
         )
         my_index = jax.lax.axis_index(self.axis_name)
         local_idx = recv_ids - my_index * rows_per_shard

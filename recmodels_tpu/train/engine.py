@@ -533,6 +533,26 @@ class Engine:
     def jit_train_scan(self, donate: bool = True):
         return jax.jit(self.train_scan, donate_argnums=(0,) if donate else ())
 
+    def train_scan_gen(self, state: TrainState, step0, *, k: int, batch_fn):
+        """K steps whose batches are GENERATED in-graph by ``batch_fn(i)``
+        (data/device_synth.py): no host producer, no host->device bytes —
+        the loop runs at pure device rate. ``step0``: global batch index of
+        the first step (traced; resume-compatible cursor)."""
+
+        def body(st, i):
+            d, ids, l = batch_fn(i)
+            st, m = self.train_step(st, d, ids, l)
+            return st, (m["loss"], m["overflow"])
+
+        state, (losses, overflows) = jax.lax.scan(
+            body, state, step0 + jnp.arange(k, dtype=jnp.int32)
+        )
+        return state, {
+            "loss": losses[-1],
+            "losses": losses,
+            "overflow": jnp.max(overflows),
+        }
+
     # ---------------------------------------------------------------- eval
     def eval_step(self, state: TrainState, auc_state, dense, ids, labels):
         logits = self.logits(state, dense, ids)
