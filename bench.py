@@ -123,7 +123,7 @@ def bench_model(name: str, batch: int, steps: int, warmup: int, vocab: int, dim:
 
 
 def bench_sharded_tax(name: str, batch: int, steps: int, vocab: int,
-                      dim: int, bf16: bool) -> dict:
+                      dim: int, bf16: bool, capacity: float = 2.0) -> dict:
     """The sharded-step tax on ONE device (VERDICT r3 item 3): the full
     shard_map program (capacity-bucketed plan, all_to_all pair — degenerate
     at n=1 — row-sharded update, psum'd dense grads) on a 1-device mesh vs
@@ -173,7 +173,8 @@ def bench_sharded_tax(name: str, batch: int, steps: int, vocab: int,
 
     mesh = make_mesh(1)
     model2 = build_model(name, schema, **kw)
-    eng_s = build_parallel_engine(model2, mesh, dense_lr=1e-3, emb_lr=1e-2)
+    eng_s = build_parallel_engine(model2, mesh, dense_lr=1e-3, emb_lr=1e-2,
+                                  capacity_factor=capacity)
     state_s = shard_state(eng_s.init(jax.random.key(0)), mesh)
     eps_shard = eps_of(build_parallel_scan(eng_s, mesh), state_s)
     return {
@@ -181,6 +182,7 @@ def bench_sharded_tax(name: str, batch: int, steps: int, vocab: int,
         "examples_per_sec_local": round(eps_local, 1),
         "examples_per_sec_sharded_1dev": round(eps_shard, 1),
         "sharded_step_tax": round(eps_local / max(eps_shard, 1e-9), 4),
+        "capacity_factor": capacity,
         "batch": batch,
         "device": str(jax.devices()[0]),
     }
@@ -336,6 +338,9 @@ def main():
                     help="scaling mode: weak-scaling efficiency on an N-device "
                          "mesh (re-execs onto N fake CPU devices if fewer are attached)")
     ap.add_argument("--batch-per-device", type=int, default=4096)
+    ap.add_argument("--capacity", type=float, default=2.0,
+                    help="sharded-tax mode: table-shard bucket capacity "
+                         "factor (scales every all_to_all buffer linearly)")
     ap.add_argument("--sharded-tax", action="store_true",
                     help="measure the 1-device shard_map program vs "
                          "LocalTables at the same batch (multi-chip "
@@ -345,7 +350,8 @@ def main():
     if args.sharded_tax:
         batch = args.batch or DEFAULT_BATCH.get(args.model, DEFAULT_BATCH_OTHER)
         r = bench_sharded_tax(args.model, batch, max(args.steps, 8),
-                              args.vocab, args.dim, bf16=not args.no_bf16)
+                              args.vocab, args.dim, bf16=not args.no_bf16,
+                              capacity=args.capacity)
         print(json.dumps({
             "metric": f"{args.model}_sharded_step_tax",
             "value": r["sharded_step_tax"],
