@@ -1,0 +1,268 @@
+#!/usr/bin/env python
+"""Round-5 CIN races, part 2.
+
+bwd `nochunkcat`: the production backward concatenates t1 (2 chunk dots),
+q (26 parts), z (26 parts) into [tr, 3328] VMEM buffers. Variant keeps
+everything per-chunk: gx0_a accumulates one ones-dot per chunk, gw2
+accumulates per-chunk column slices into the scratch, the m-loop walks
+chunk-local slices — zero big concats.
+
+fwd `fold_f32` vs `fold_bf16`: the ADVICE r4 #2 fix accumulates the
+layer-2 fold in f32; measure its cost vs the round-4 bf16 fold (the
+correctness argument stands either way — this race decides whether the fix
+costs throughput or is free).
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+jax.config.update("jax_compilation_cache_dir", os.environ["JAX_COMPILATION_CACHE_DIR"])
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+from recmodels_tpu.ops.pallas import interactions_tpu as K
+from profile_cin import timeit
+
+R, M, H1, H2, D = 262144, 26, 128, 128, 16
+
+
+# ---------------------------------------------------------------- forward
+def fwd_variant(x02, w1, w2, d, f32_fold):
+    rows, m = x02.shape
+    h1 = w1.shape[1] // m
+    h2 = w2.shape[1] // m
+    mp = -(-m * m // 128) * 128
+    tr = K._CIN2_TR
+    nb = tr // d
+    ea, eb, _, _ = K._cin2_onehots(m)
+    w1p = K._w1_pairs(w1, m, h1, mp)
+
+    def kern(x0_ref, w1p_ref, w2_ref, ea_ref, eb_ref, x1_ref, p1_ref, p2_ref):
+        x0 = x0_ref[:]
+        e1 = jnp.dot(x0, ea_ref[:], preferred_element_type=jnp.float32).astype(jnp.bfloat16)
+        e2 = jnp.dot(x0, eb_ref[:], preferred_element_type=jnp.float32).astype(jnp.bfloat16)
+        x1 = jnp.dot(e1 * e2, w1p_ref[:], preferred_element_type=jnp.float32
+                     ).astype(jnp.bfloat16)
+        x1_ref[:] = x1
+        t2 = jnp.dot(x1, w2_ref[:], preferred_element_type=jnp.float32
+                     ).astype(jnp.bfloat16)
+        if f32_fold:
+            x0f = x0.astype(jnp.float32)
+            acc = t2[:, 0:h2].astype(jnp.float32) * x0f[:, 0:1]
+            for i in range(1, m):
+                acc = acc + t2[:, i * h2 : (i + 1) * h2].astype(jnp.float32) * x0f[:, i : i + 1]
+            p2_ref[:] = jnp.sum(acc.reshape(nb, d, h2), axis=1).astype(p2_ref.dtype)
+        else:
+            acc = t2[:, 0:h2] * x0[:, 0:1]
+            for i in range(1, m):
+                acc = acc + t2[:, i * h2 : (i + 1) * h2] * x0[:, i : i + 1]
+            p2_ref[:] = jnp.sum(acc.reshape(nb, d, h2).astype(jnp.float32), axis=1
+                                ).astype(p2_ref.dtype)
+        p1_ref[:] = jnp.sum(x1.reshape(nb, d, h1).astype(jnp.float32), axis=1
+                            ).astype(p1_ref.dtype)
+
+    return pl.pallas_call(
+        kern,
+        grid=(rows // tr,),
+        in_specs=[
+            pl.BlockSpec((tr, m), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((mp, h1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((h1, m * h2), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((m, mp), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((m, mp), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((tr, h1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tr // d, h1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tr // d, h2), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((rows, h1), x02.dtype),
+            jax.ShapeDtypeStruct((rows // d, h1), x02.dtype),
+            jax.ShapeDtypeStruct((rows // d, h2), x02.dtype),
+        ],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=K._CIN2_VMEM),
+    )(x02, w1p, w2, ea, eb)
+
+
+# --------------------------------------------------- backward, no concats
+def bwd_nochunkcat(x02, x1, w1, w2, g1p, g2p, d, chunks=2):
+    rows, m = x02.shape
+    h1 = w1.shape[1] // m
+    h2 = w2.shape[1] // m
+    mp = -(-m * m // 128) * 128
+    tr = K._CIN2_TR
+    nb = tr // d
+    ea, eb, oa, ob = K._cin2_onehots(m)
+    w1pt = K._w1_pairs(w1, m, h1, mp).T
+    mpc = m // chunks  # slots per chunk (26/2 = 13)
+    assert m % chunks == 0
+    ones_c = jnp.repeat(jnp.eye(m, dtype=jnp.bfloat16), h1, axis=0
+                        ).reshape(chunks, mpc * h1, m)
+
+    def kern(g1p_ref, g2p_ref, x0_ref, x1_ref, w2_ref, w1pt_ref, ea_ref,
+             eb_ref, oa_ref, ob_ref, ones_ref,
+             gx0_ref, gw1_ref, gw2_ref, wp_s, gw1_s, gw2_s):
+        x0 = x0_ref[:]
+        xk = x1_ref[:]
+        step = pl.program_id(0)
+        first = step == 0
+
+        @pl.when(first)
+        def _():
+            wp_s[:] = jnp.concatenate(
+                [w2_ref[:, i * h2 : (i + 1) * h2].T for i in range(m)],
+                axis=1,
+            )
+
+        g2 = jnp.broadcast_to(g2p_ref[:].reshape(nb, 1, h2), (nb, d, h2)
+                              ).reshape(tr, h2)
+        g1 = jnp.broadcast_to(g1p_ref[:].reshape(nb, 1, h1), (nb, d, h1)
+                              ).reshape(tr, h1)
+
+        cw = mpc * h1
+        gx1 = None
+        gx0_a = None
+        for c in range(chunks):
+            t1c = jnp.dot(
+                g2, wp_s[:, c * cw : (c + 1) * cw],
+                preferred_element_type=jnp.float32,
+            ).astype(jnp.bfloat16)
+            qc_parts, zc_parts = [], []
+            for ii in range(mpc):
+                i = c * mpc + ii
+                t1_i = t1c[:, ii * h1 : (ii + 1) * h1]
+                x0_i = x0[:, i : i + 1]
+                contrib = t1_i.astype(jnp.float32) * x0_i.astype(jnp.float32)
+                gx1 = contrib if gx1 is None else gx1 + contrib
+                qc_parts.append(t1_i * xk)
+                zc_parts.append(xk * x0_i)
+            qc = jnp.concatenate(qc_parts, axis=1)
+            zc = jnp.concatenate(zc_parts, axis=1)
+            a = jnp.dot(qc, ones_ref[c], preferred_element_type=jnp.float32)
+            gx0_a = a if gx0_a is None else gx0_a + a
+            gw2_c = jax.lax.dot_general(g2, zc, (((0,), (0,)), ((), ())),
+                                        preferred_element_type=jnp.float32)
+
+            @pl.when(first)
+            def _(c=c, gw2_c=gw2_c):
+                gw2_s[:, c * cw : (c + 1) * cw] = gw2_c
+
+            @pl.when(jnp.logical_not(first))
+            def _(c=c, gw2_c=gw2_c):
+                gw2_s[:, c * cw : (c + 1) * cw] += gw2_c
+
+        gx1 = (gx1 + g1.astype(jnp.float32)).astype(jnp.bfloat16)
+        e1 = jnp.dot(x0, ea_ref[:], preferred_element_type=jnp.float32).astype(jnp.bfloat16)
+        e2 = jnp.dot(x0, eb_ref[:], preferred_element_type=jnp.float32).astype(jnp.bfloat16)
+        gp = jnp.dot(
+            gx1, w1pt_ref[:], preferred_element_type=jnp.float32,
+        ).astype(jnp.bfloat16)
+        gx0_b = (
+            jnp.dot(gp * e2, oa_ref[:], preferred_element_type=jnp.float32)
+            + jnp.dot(gp * e1, ob_ref[:], preferred_element_type=jnp.float32)
+        )
+        gw1_step = jax.lax.dot_general(
+            gx1, e1 * e2, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        gx0_ref[:] = (gx0_a + gx0_b).astype(gx0_ref.dtype)
+
+        @pl.when(first)
+        def _():
+            gw1_s[:] = gw1_step
+
+        @pl.when(jnp.logical_not(first))
+        def _():
+            gw1_s[:] += gw1_step
+
+        @pl.when(step == pl.num_programs(0) - 1)
+        def _():
+            gw1_ref[:] = gw1_s[:].T
+            gw2_ref[:] = jnp.concatenate(
+                [gw2_s[:, i * h1 : (i + 1) * h1].T for i in range(m)], axis=1
+            )
+
+    return pl.pallas_call(
+        kern,
+        grid=(rows // tr,),
+        in_specs=[
+            pl.BlockSpec((nb, h1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((nb, h2), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tr, m), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tr, h1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((h1, m * h2), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((h1, mp), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((m, mp), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((m, mp), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((mp, m), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((mp, m), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, (M // 2) * H1, m), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((tr, m), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((mp, h1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((h1, m * h2), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((rows, m), x02.dtype),
+            jax.ShapeDtypeStruct((mp, h1), jnp.float32),
+            jax.ShapeDtypeStruct((h1, m * h2), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((h2, m * h1), jnp.bfloat16),
+            pltpu.VMEM((h1, mp), jnp.float32),
+            pltpu.VMEM((h2, m * h1), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=K._CIN2_VMEM),
+    )(g1p, g2p, x02, x1, w2, w1pt, ea, eb, oa, ob, ones_c)
+
+
+def main():
+    rng = np.random.default_rng(0)
+    x02 = jnp.asarray(rng.normal(size=(R, M)), jnp.bfloat16)
+    w1 = jnp.asarray(rng.normal(0, 0.1, size=(M, M * H1)), jnp.bfloat16)
+    w2 = jnp.asarray(rng.normal(0, 0.1, size=(H1, M * H2)), jnp.bfloat16)
+    x1 = jnp.asarray(rng.normal(size=(R, H1)), jnp.bfloat16)
+    g1p = jnp.asarray(rng.normal(size=(R // D, H1)), jnp.bfloat16)
+    g2p = jnp.asarray(rng.normal(size=(R // D, H2)), jnp.bfloat16)
+
+    # forward: f32 fold (current prod) vs bf16 fold (round-4 prod)
+    f_f32 = functools.partial(fwd_variant, d=D, f32_fold=True)
+    f_b16 = functools.partial(fwd_variant, d=D, f32_fold=False)
+    r32 = jax.jit(lambda *a: f_f32(*a))(x02, w1, w2)
+    r16 = jax.jit(lambda *a: f_b16(*a))(x02, w1, w2)
+    np.testing.assert_allclose(np.asarray(r32[2], np.float32),
+                               np.asarray(r16[2], np.float32),
+                               rtol=5e-2, atol=5e-1)
+    timeit("fwd fold_f32 (prod r5)", f_f32, x02, w1, w2)
+    timeit("fwd fold_bf16 (prod r4)", f_b16, x02, w1, w2)
+
+    # backward: production vs no-concat chunked form
+    base = functools.partial(K._cin2_bwd_call, d=D)
+    ref = jax.jit(lambda *a: base(*a))(x02, x1, w1, w2, g1p, g2p)
+    cand = functools.partial(bwd_nochunkcat, d=D)
+    got = jax.jit(lambda *a: cand(*a))(x02, x1, w1, w2, g1p, g2p)
+    got = (got[0], np.asarray(got[1])[: M * M, :].reshape(M, M * H1), got[2])
+    for a, b in zip(got, ref):
+        np.testing.assert_allclose(np.asarray(a, np.float32),
+                                   np.asarray(b, np.float32),
+                                   rtol=5e-2, atol=5e-2)
+    timeit("bwd prod", base, x02, x1, w1, w2, g1p, g2p)
+    timeit("bwd nochunkcat", cand, x02, x1, w1, w2, g1p, g2p)
+
+
+if __name__ == "__main__":
+    main()
