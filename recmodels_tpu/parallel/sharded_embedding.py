@@ -59,7 +59,11 @@ class ShardedTables:
         sparse_opt: SparseOptimizer,
         n_shards: int,
         axis_name: str = "data",
-        capacity_factor: float = 2.0,
+        # default 1.25 (round-5 sweep, bench/scaling_r5.jsonl): every
+        # exchange buffer scales linearly with it; hashed ids are
+        # near-uniform over shards, so 1.25 leaves ~50+ sigma of
+        # binomial headroom while cutting the tax 1.15x -> 1.09x
+        capacity_factor: float = 1.25,
         local_batch_hint: int | None = None,
         fast_dtype=None,
     ):
@@ -159,8 +163,8 @@ class ShardedTables:
         (``slot_sorted_ids``) for the local kernels. So:
 
           * per-destination buckets are SLICES of the sorted stream —
-            ``bounds = searchsorted(sorted_ids, o·R)`` — built with pure
-            GATHERS (``take``), no scatter anywhere;
+            ``bounds = searchsorted(sorted_ids, o·R)`` — no scatter, no
+            argsort-by-owner anywhere;
           * every destination's bucket arrives PRE-SORTED: the owner-side
             sort vanishes at d=1 and shrinks to one d-way merge at d>1;
           * the requester readback composes the bucket-slot map with the

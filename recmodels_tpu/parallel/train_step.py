@@ -35,7 +35,7 @@ def build_parallel_engine(
     sparse_optimizer: str = "adagrad",
     dense_lr: float = 1e-3,
     emb_lr: float = 1e-2,
-    capacity_factor: float = 2.0,
+    capacity_factor: float = 1.25,
     **kwargs,
 ) -> Engine:
     """Engine configured for this mesh: DP over ``data`` + row-sharded tables."""

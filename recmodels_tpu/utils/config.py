@@ -46,7 +46,7 @@ class TrainConfig:
     eval_batches: int = 20
     # distribution
     n_devices: int | None = None  # None = all; 1 = local tables
-    capacity_factor: float = 2.0
+    capacity_factor: float = 1.25
     # dispatch: steps per device program (lax.scan superbatch). >1 amortizes
     # host dispatch latency; 1 keeps the step-at-a-time path.
     scan_steps: int = 1
