@@ -268,3 +268,85 @@ def main():
 
 if __name__ == "__main__":
     main()
+
+
+def extra():
+    rng = np.random.default_rng(0)
+    x02 = jnp.asarray(rng.normal(size=(R, M)), jnp.bfloat16)
+    w1 = jnp.asarray(rng.normal(0, 0.1, size=(M, M * H1)), jnp.bfloat16)
+    w2 = jnp.asarray(rng.normal(0, 0.1, size=(H1, M * H2)), jnp.bfloat16)
+    x1 = jnp.asarray(rng.normal(size=(R, H1)), jnp.bfloat16)
+    g1p = jnp.asarray(rng.normal(size=(R // D, H1)), jnp.bfloat16)
+    g2p = jnp.asarray(rng.normal(size=(R // D, H2)), jnp.bfloat16)
+
+    # fwd: bf16 products, f32 accumulation (middle ground)
+    def fwd_mixed(x02, w1, w2):
+        rows, m = x02.shape
+        h1 = w1.shape[1] // m
+        h2 = w2.shape[1] // m
+        mp = -(-m * m // 128) * 128
+        tr = K._CIN2_TR
+        nb = tr // D
+        ea, eb, _, _ = K._cin2_onehots(m)
+        w1p = K._w1_pairs(w1, m, h1, mp)
+
+        def kern(x0_ref, w1p_ref, w2_ref, ea_ref, eb_ref, x1_ref, p1_ref, p2_ref):
+            x0 = x0_ref[:]
+            e1 = jnp.dot(x0, ea_ref[:], preferred_element_type=jnp.float32).astype(jnp.bfloat16)
+            e2 = jnp.dot(x0, eb_ref[:], preferred_element_type=jnp.float32).astype(jnp.bfloat16)
+            x1 = jnp.dot(e1 * e2, w1p_ref[:], preferred_element_type=jnp.float32
+                         ).astype(jnp.bfloat16)
+            x1_ref[:] = x1
+            t2 = jnp.dot(x1, w2_ref[:], preferred_element_type=jnp.float32
+                         ).astype(jnp.bfloat16)
+            acc = (t2[:, 0:h2] * x0[:, 0:1]).astype(jnp.float32)
+            for i in range(1, m):
+                acc = acc + (t2[:, i * h2 : (i + 1) * h2] * x0[:, i : i + 1]).astype(jnp.float32)
+            p2_ref[:] = jnp.sum(acc.reshape(nb, D, h2), axis=1).astype(p2_ref.dtype)
+            p1_ref[:] = jnp.sum(x1.reshape(nb, D, h1).astype(jnp.float32), axis=1
+                                ).astype(p1_ref.dtype)
+
+        return pl.pallas_call(
+            kern,
+            grid=(rows // tr,),
+            in_specs=[
+                pl.BlockSpec((tr, m), lambda i: (i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((mp, h1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((h1, m * h2), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((m, mp), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((m, mp), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((tr, h1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((tr // D, h1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((tr // D, h2), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((rows, h1), x02.dtype),
+                jax.ShapeDtypeStruct((rows // D, h1), x02.dtype),
+                jax.ShapeDtypeStruct((rows // D, h2), x02.dtype),
+            ],
+            compiler_params=pltpu.CompilerParams(vmem_limit_bytes=K._CIN2_VMEM),
+        )(x02, w1p, w2, ea, eb)
+
+    f_f32 = functools.partial(fwd_variant, d=D, f32_fold=True)
+    r32 = jax.jit(lambda *a: f_f32(*a))(x02, w1, w2)
+    rmx = jax.jit(fwd_mixed)(x02, w1, w2)
+    # mixed differs from full-f32 only by per-term product rounding
+    np.testing.assert_allclose(np.asarray(rmx[2], np.float32),
+                               np.asarray(r32[2], np.float32),
+                               rtol=2e-2, atol=1.0)
+    timeit("fwd fold_mixed (bf16 prod, f32 acc)", fwd_mixed, x02, w1, w2)
+
+    import cin_bwd_r5 as r5
+    for chunks in (1, 4):
+        fn = functools.partial(r5.bwd_variant, d=D, tr=512, vpu_gx0a=False,
+                               chunks=chunks, vmem_mb=100)
+        try:
+            timeit(f"bwd prod chunks={chunks}", fn, x02, x1, w1, w2, g1p, g2p)
+        except Exception as e:  # noqa: BLE001
+            print(f"bwd chunks={chunks} FAILED: {type(e).__name__}: {str(e)[:140]}")
+
+
+if __name__ == "__main__" and os.environ.get("CIN_R5_EXTRA"):
+    extra()
