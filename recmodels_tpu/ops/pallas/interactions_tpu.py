@@ -549,13 +549,15 @@ def _cin2_fwd_call(x02, w1, w2, d):
         x1_ref[:] = x1
         t2 = jnp.dot(x1, w2_ref[:], preferred_element_type=jnp.float32
                      ).astype(jnp.bfloat16)
-        # fold accumulates in f32 (ADVICE r4 #2): a bf16 acc drifts ~m·2^-9
+        # fold ACCUMULATES in f32 (ADVICE r4 #2): a bf16 acc drifts ~m·2^-9
         # worst-case over the m=26 terms and silently changes forward
-        # numerics vs the composed per-layer path (f32 t, f32 accumulation)
-        x0f = x0.astype(jnp.float32)
-        acc = t2[:, 0:h2].astype(jnp.float32) * x0f[:, 0:1]
+        # numerics vs the composed per-layer path. Products stay bf16 —
+        # one non-amplified rounding per term — which measures 2.41ms vs
+        # 2.49 (f32 products) vs 2.34 (the round-4 all-bf16 fold) isolated
+        # (bench/cin_r5b.py): the accumulation is where the drift was.
+        acc = (t2[:, 0:h2] * x0[:, 0:1]).astype(jnp.float32)
         for i in range(1, m):
-            acc = acc + t2[:, i * h2 : (i + 1) * h2].astype(jnp.float32) * x0f[:, i : i + 1]
+            acc = acc + (t2[:, i * h2 : (i + 1) * h2] * x0[:, i : i + 1]).astype(jnp.float32)
         p1_ref[:] = jnp.sum(x1.reshape(nb, d, h1).astype(jnp.float32), axis=1
                             ).astype(p1_ref.dtype)
         p2_ref[:] = jnp.sum(acc.reshape(nb, d, h2), axis=1
