@@ -319,13 +319,12 @@ class ShardedTables:
         )
         flat_rows = back.reshape((d * cap,) if one_d else (d * cap, -1))
         # readback: unbucketize to sorted order (d update-slices; overflow
-        # rows stay zero), then the SAME batched per-slot un-permute the
-        # local path pays (LocalTables._gather_packed) — no extra random
-        # access beyond it.
-        from recmodels_tpu.embedding.optim import unpermute_rows_from_sorted
+        # rows stay zero), then the SAME un-permute take the local path
+        # pays (LocalTables._gather_packed) — no extra random access.
+        from recmodels_tpu.embedding.optim import slot_sorted_inverse
 
         rows_sorted_b = self._unbucketize_rows(flat_rows, bounds, cap, n)
-        out = unpermute_rows_from_sorted(rows_sorted_b, order_2d)
+        out = jnp.take(rows_sorted_b, slot_sorted_inverse(order_2d), axis=0)
         if with_stats:
             return out, overflow
         return out
@@ -340,13 +339,11 @@ class ShardedTables:
             ids_2d, rows_per_shard, cap
         )
         send_ids = self._bucketize_ids(sorted_ids, bounds, counts, cap)
-        # grad buckets: ONE batched per-slot permute to sorted order
-        # (identical to the local path's, so tax-free) + d dynamic-slices.
-        # Tail rows beyond counts[o] carry neighbors' grads — their ids are
-        # the sentinel, which every update path drops.
-        from recmodels_tpu.embedding.optim import permute_rows_to_sorted
-
-        sorted_grads = permute_rows_to_sorted(grads_flat, order_2d)
+        # grad buckets: ONE permute take to sorted order (identical to the
+        # local path's, so tax-free) + d dynamic-slices. Tail rows beyond
+        # counts[o] carry neighbors' grads — their ids are the sentinel,
+        # which every update path drops (one-hot miss / scatter-drop).
+        sorted_grads = jnp.take(grads_flat, order, axis=0)
         send_grads = self._bucketize_rows(sorted_grads, bounds, cap)
         # grads ride requester -> owner, aligned with the id buckets
         recv_ids = jax.lax.all_to_all(

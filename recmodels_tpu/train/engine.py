@@ -108,25 +108,20 @@ class LocalTables:
         un-permute take)."""
         from recmodels_tpu.embedding import pallas_gather
 
-        from recmodels_tpu.embedding.optim import (
-            slot_sorted_ids, unpermute_rows_from_sorted,
-        )
+        from recmodels_tpu.embedding.optim import slot_sorted_ids, slot_sorted_inverse
 
         b, ns = ids.shape
         # batched per-slot sort: columns occupy disjoint increasing row
         # ranges (collection.build_groups), so per-column sorted blocks
         # concatenate into the global sorted stream — two [ns, B] batched
         # sorts replace two flat [ns·B] bitonic sorts (ids sort + inverse
-        # permutation), and the update plan CSEs with the first one. The
-        # un-permute rides the same per-slot structure (batched
-        # take_along_axis, ~25% cheaper than the flat [N] take).
+        # permutation), and the update plan CSEs with the first one.
         sorted_ids, _, order_2d = slot_sorted_ids(ids)
         rows_sorted = pallas_gather.sorted_gather(
             packed, sorted_ids, out_dtype=self.fast_dtype
         )
-        return unpermute_rows_from_sorted(
-            rows_sorted[:, :dim], order_2d
-        ).reshape(b, ns, dim)
+        inv = slot_sorted_inverse(order_2d)
+        return jnp.take(rows_sorted[:, :dim], inv, axis=0).reshape(b, ns, dim)
 
     def gather(self, emb_params, gids, dtype=None, emb_opt=None, with_stats=False):
         """{coll: {group: [B, n_g]}} -> {coll: {group: [B, n_g, dim]}}.
