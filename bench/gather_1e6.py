@@ -43,43 +43,41 @@ N = B * NS
 
 
 def main():
+    # tables as ARGUMENTS, not closure constants: capturing 2.5GB constants
+    # broke the remote-compile transport (Broken pipe) on the first attempt
     rng = np.random.default_rng(0)
     print(f"rows={ROWS_P} ({ROWS_P // TR} tiles), ids={N}")
-    table = jnp.asarray(rng.normal(size=(ROWS_P, DIM)).astype(np.float32))
-    packed = pallas_gather.pack(table, TR)
-    acc = jnp.full((ROWS_P, DIM), 0.1, jnp.float32)
-    packed_acc = pallas_gather.pack(acc, TR)
+    which = sys.argv[1] if len(sys.argv) > 1 else "all"
     ids = np.sort(rng.integers(0, ROWS, size=(N,)).astype(np.int32))
     sorted_ids = jnp.asarray(ids)
     grads = jnp.asarray(rng.normal(size=(N, DIM)).astype(np.float32)).astype(jnp.bfloat16)
 
-    def sweep(sids):
+    def sweep(sids, packed):
         return pallas_gather.sorted_gather(packed, sids, out_dtype=jnp.bfloat16)
 
-    def xla_gather(sids):
+    def xla_gather(sids, table):
         return jnp.take(table, sids, axis=0).astype(jnp.bfloat16)
 
-    a = np.asarray(jax.jit(sweep)(sorted_ids))[:, :DIM]
-    b = np.asarray(jax.jit(xla_gather)(sorted_ids))
-    np.testing.assert_allclose(a, b, rtol=0, atol=0)
+    if which in ("all", "gather"):
+        table = jnp.asarray(rng.normal(size=(ROWS_P, DIM)).astype(np.float32))
+        packed = pallas_gather.pack(table, TR)
+        a = np.asarray(jax.jit(sweep)(sorted_ids, packed))[:, :DIM]
+        b = np.asarray(jax.jit(xla_gather)(sorted_ids, table))
+        np.testing.assert_allclose(a, b, rtol=0, atol=0)
+        timeit("sweep_gather @1e6", sweep, sorted_ids, packed)
+        timeit("xla_gather  @1e6", xla_gather, sorted_ids, table)
+        del table, packed, a, b
 
-    timeit("sweep_gather @1e6", sweep, sorted_ids)
-    timeit("xla_gather  @1e6", xla_gather, sorted_ids)
-
-    def upd(sids, g):
+    def upd(sids, g, packed, packed_acc):
         return pallas_update.sorted_adagrad_update_packed(
             packed, packed_acc, sids, g, 0.01, 1e-8)
 
-    timeit("update_sweep @1e6", upd, sorted_ids, grads)
-
-    def upd2d(sids, g):
-        return pallas_update.sorted_adagrad_update(
-            table, acc, sids, g, 0.01, 1e-8)
-
-    try:
-        timeit("update_sweep_2d @1e6", upd2d, sorted_ids, grads)
-    except Exception as e:  # noqa: BLE001
-        print("update_sweep_2d FAILED:", type(e).__name__, str(e)[:140])
+    if which in ("all", "update"):
+        table = jnp.asarray(rng.normal(size=(ROWS_P, DIM)).astype(np.float32))
+        packed = pallas_gather.pack(table, TR)
+        packed_acc = pallas_gather.pack(jnp.full((ROWS_P, DIM), 0.1, jnp.float32), TR)
+        del table
+        timeit("update_sweep @1e6", upd, sorted_ids, grads, packed, packed_acc)
 
 
 if __name__ == "__main__":
