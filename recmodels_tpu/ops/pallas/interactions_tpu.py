@@ -849,8 +849,14 @@ def _split_fused_fwd_impl(full, emb_dim: int):
         # default scoped VMEM (16MB) overflows at batch >= 24,576 — this was
         # round 4's mysterious "remote compile helper crash" at large batch
         # (the AOT error names this kernel's stack allocation: 18.39M at
-        # b=24,576). Grid tiles are small; raise the limit and scale with B.
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 2**20),
+        # b=24,576). Raise the limit ONLY when needed: an unconditional
+        # 64MB limit changed Mosaic's scheduling for the b=16,384 program
+        # too and cost 3ms/step (1.044M -> 874k ex/s, round-5 measured).
+        **(
+            {"compiler_params": pltpu.CompilerParams(
+                vmem_limit_bytes=64 * 2**20)}
+            if bsz > 16384 else {}
+        ),
         interpret=_interpret(),
     )(full.reshape(bsz * m, dp1))
     # ws must be rank-1 [B] like the reference/interpret paths: a (B, 1)
@@ -890,7 +896,11 @@ def _split_fused_bwd_impl(g_dm, g_ws, dtype, emb_dim: int):
         ],
         out_specs=pl.BlockSpec((tb * m, d + 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((bsz * m, d + 1), dtype),
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 2**20),
+        **(
+            {"compiler_params": pltpu.CompilerParams(
+                vmem_limit_bytes=64 * 2**20)}
+            if bsz > 16384 else {}
+        ),
         interpret=_interpret(),
     )(g_dm.reshape(bsz * d, m), g_ws.reshape(bsz, 1))
     return out2d.reshape(bsz, m, d + 1)
