@@ -587,7 +587,7 @@ def _cin2_fwd_call(x02, w1, w2, d):
     )(x02, w1p, w2, ea, eb)
 
 
-def _cin2_bwd_call(x02, x1, w1, w2, g1p, g2p, d, chunks=2):
+def _cin2_bwd_call(x02, x1, w1, w2, g1p, g2p, d):
     rows, m = x02.shape
     h1 = w1.shape[1] // m
     h2 = w2.shape[1] // m
@@ -623,16 +623,21 @@ def _cin2_bwd_call(x02, x1, w1, w2, g1p, g2p, d, chunks=2):
         g1 = jnp.broadcast_to(g1p_ref[:].reshape(nb, 1, h1), (nb, d, h1)
                               ).reshape(tr, h1)
 
-        # ---- layer-2 backward (production t1/fold formulation) ----
-        cw = (m * h1) // chunks
-        t1_parts = [
-            jnp.dot(
-                g2, wp_s[:, c * cw : (c + 1) * cw],
-                preferred_element_type=jnp.float32,
-            ).astype(jnp.bfloat16)
-            for c in range(chunks)
-        ]
-        t1 = jnp.concatenate(t1_parts, axis=1) if chunks > 1 else t1_parts[0]
+        # ---- layer-2 backward (t1/fold formulation, EXAMPLE-RANK t1) ----
+        # g2 is broadcast over each example's d dim-rows, so the t1
+        # projection runs at example rank (nb rows) and expands to rows by
+        # the same sublane broadcast as g2/g1 — per-row t1 values are
+        # BIT-identical (same vectors dotted), 218M -> 13.6M MAC/tile, and
+        # the f32 transient shrinks 16x so the round-3 lane-chunking is
+        # gone. Isolated 5.93 -> 5.49ms (bench/cin_bwd_r5c.py; the same
+        # race killed b-rank gw2 forms — both a VPU d-sum and a one-hot
+        # d-sum dot LOST ~0.6-1.7ms to scheduling, so gw2 stays row-rank).
+        t1p = jnp.dot(
+            g2p_ref[:], wp_s[:], preferred_element_type=jnp.float32,
+        ).astype(jnp.bfloat16)  # [nb, m*h1]
+        t1 = jnp.broadcast_to(
+            t1p.reshape(nb, 1, m * h1), (nb, d, m * h1)
+        ).reshape(tr, m * h1)
         gx1 = None
         q_parts, z_parts = [], []
         for i in range(m):
