@@ -530,7 +530,39 @@ def _w1_pairs(w1_flat, m, h1, mp):
     )
 
 
+@functools.lru_cache(maxsize=4)
+def _dsum_onehot_np(nb: int, tr: int, d: int):
+    """DS[b, r] = 1[r//d == b] — the narrow-first example-pooling one-hot
+    (cached as numpy; XLA folds the device constant)."""
+    import numpy as np
+
+    ds = np.zeros((nb, tr), np.float32)
+    for r in range(tr):
+        ds[r // d, r] = 1.0
+    return ds
+
+
 def _cin2_fwd_call(x02, w1, w2, d):
+    """Pair-pool (Q) formulation (round 5, bench/cin_r5d.py).
+
+    x2 never leaves the kernel, so the 218M-MAC t2 projection + m-term
+    fold existed ONLY to produce p2. Reassociating the pool to example
+    rank:
+
+        p2[b,n] = sum_{(j,k)} Q[b,(j,k)] * W2R[(j,k),n]
+        Q[b,(j,k)] = sum_d x0[(b,d),j] * x1[(b,d),k]
+
+    Q rides a narrow-first one-hot d-sum dot (54.5M MAC/tile) over the
+    pair stream, p2 one example-rank dot (13.6M), W2R[(j,k),n] =
+    w2[k,(j,n)] a row-concat of w2's column blocks built once in scratch.
+    Forward inventory 290M -> ~140M MAC/tile and the fold VPU is gone.
+
+    Q is EMITTED ([B, m*h1] bf16; 109MB at the flagship, 0.13ms write):
+    the backward's gw2 then collapses to an example-rank XLA einsum
+    (7 GMAC vs 218M MAC/tile in-kernel) — fwd+bwd isolated 7.71 ->
+    6.50ms, with p2/gw2 at the SAME f32-oracle distance as the fold form
+    (p2 mean err 0.163 vs 0.175; the reassociation is not a precision
+    trade)."""
     rows, m = x02.shape
     h1 = w1.shape[1] // m
     h2 = w2.shape[1] // m
@@ -539,29 +571,42 @@ def _cin2_fwd_call(x02, w1, w2, d):
     nb = tr // d
     ea, eb, _, _ = _cin2_onehots(m)
     w1p = _w1_pairs(w1, m, h1, mp)
+    ds = jnp.asarray(_dsum_onehot_np(nb, tr, d), jnp.bfloat16)
 
-    def kern(x0_ref, w1p_ref, w2_ref, ea_ref, eb_ref, x1_ref, p1_ref, p2_ref):
+    def kern(x0_ref, w1p_ref, w2_ref, ea_ref, eb_ref, ds_ref,
+             x1_ref, p1_ref, p2_ref, q_ref, w2r_s):
+        step = pl.program_id(0)
+
+        @pl.when(step == 0)
+        def _():
+            # W2R[(j,k), n] = w2[k, (j,n)]: row-concat of w2's column
+            # blocks — no transposes
+            w2r_s[:] = jnp.concatenate(
+                [w2_ref[:, j * h2 : (j + 1) * h2] for j in range(m)],
+                axis=0,
+            )
+
         x0 = x0_ref[:]
         e1 = jnp.dot(x0, ea_ref[:], preferred_element_type=jnp.float32).astype(jnp.bfloat16)
         e2 = jnp.dot(x0, eb_ref[:], preferred_element_type=jnp.float32).astype(jnp.bfloat16)
         x1 = jnp.dot(e1 * e2, w1p_ref[:], preferred_element_type=jnp.float32
                      ).astype(jnp.bfloat16)
         x1_ref[:] = x1
-        t2 = jnp.dot(x1, w2_ref[:], preferred_element_type=jnp.float32
-                     ).astype(jnp.bfloat16)
-        # fold ACCUMULATES in f32 (ADVICE r4 #2): a bf16 acc drifts ~m·2^-9
-        # worst-case over the m=26 terms and silently changes forward
-        # numerics vs the composed per-layer path. Products stay bf16 —
-        # one non-amplified rounding per term — which measures 2.41ms vs
-        # 2.49 (f32 products) vs 2.34 (the round-4 all-bf16 fold) isolated
-        # (bench/cin_r5b.py): the accumulation is where the drift was.
-        acc = (t2[:, 0:h2] * x0[:, 0:1]).astype(jnp.float32)
-        for i in range(1, m):
-            acc = acc + (t2[:, i * h2 : (i + 1) * h2] * x0[:, i : i + 1]).astype(jnp.float32)
+        # pair stream z[r,(j,k)] = x0[r,j]*x1[r,k]; the d-sum dot
+        # accumulates its bf16 products in f32 (the fold-accumulation
+        # precision rule, ADVICE r4 #2, carries over: Q's 16-term sums and
+        # p2's 3328-term dot both accumulate f32)
+        z = jnp.concatenate(
+            [x1 * x0[:, j : j + 1] for j in range(m)], axis=1
+        )
+        q = jnp.dot(ds_ref[:], z, preferred_element_type=jnp.float32
+                    ).astype(jnp.bfloat16)
+        q_ref[:] = q
+        p2_ref[:] = jnp.dot(
+            q, w2r_s[:], preferred_element_type=jnp.float32
+        ).astype(p2_ref.dtype)
         p1_ref[:] = jnp.sum(x1.reshape(nb, d, h1).astype(jnp.float32), axis=1
                             ).astype(p1_ref.dtype)
-        p2_ref[:] = jnp.sum(acc.reshape(nb, d, h2), axis=1
-                            ).astype(p2_ref.dtype)
 
     return pl.pallas_call(
         kern,
@@ -572,22 +617,26 @@ def _cin2_fwd_call(x02, w1, w2, d):
             pl.BlockSpec((h1, m * h2), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((m, mp), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((m, mp), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((nb, tr), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
             pl.BlockSpec((tr, h1), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((nb, h1), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((nb, h2), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((nb, m * h1), lambda i: (i, 0), memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((rows, h1), x02.dtype),
             jax.ShapeDtypeStruct((rows // d, h1), x02.dtype),
             jax.ShapeDtypeStruct((rows // d, h2), x02.dtype),
+            jax.ShapeDtypeStruct((rows // d, m * h1), jnp.bfloat16),
         ],
+        scratch_shapes=[pltpu.VMEM((m * h1, h2), jnp.bfloat16)],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_CIN2_VMEM),
-    )(x02, w1p, w2, ea, eb)
+    )(x02, w1p, w2, ea, eb, ds)
 
 
-def _cin2_bwd_call(x02, x1, w1, w2, g1p, g2p, d):
+def _cin2_bwd_call(x02, x1, w1, w2, q, g1p, g2p, d):
     rows, m = x02.shape
     h1 = w1.shape[1] // m
     h2 = w2.shape[1] // m
@@ -598,8 +647,8 @@ def _cin2_bwd_call(x02, x1, w1, w2, g1p, g2p, d):
     w1pt = _w1_pairs(w1, m, h1, mp).T  # [h1, mp]: NN orientation for gp
     ones_blk = jnp.repeat(jnp.eye(m, dtype=jnp.bfloat16), h1, axis=0)
 
-    def kern(g1p_ref, g2p_ref, x0_ref, x1_ref, w2_ref, w1pt_ref, ea_ref,
-             eb_ref, oa_ref, ob_ref, ones_ref,
+    def kern(g1p_ref, g2p_ref, q_ref, x0_ref, x1_ref, w2_ref, w1pt_ref,
+             ea_ref, eb_ref, oa_ref, ob_ref, ones_ref,
              gx0_ref, gw1_ref, gw2_ref, wp_s, gw1_s, gw2_s):
         x0 = x0_ref[:]
         xk = x1_ref[:]
@@ -618,8 +667,6 @@ def _cin2_bwd_call(x02, x1, w1, w2, g1p, g2p, d):
             )
 
         # pool grads expand to rows in VMEM (each example's d rows share it)
-        g2 = jnp.broadcast_to(g2p_ref[:].reshape(nb, 1, h2), (nb, d, h2)
-                              ).reshape(tr, h2)
         g1 = jnp.broadcast_to(g1p_ref[:].reshape(nb, 1, h1), (nb, d, h1)
                               ).reshape(tr, h1)
 
@@ -639,27 +686,26 @@ def _cin2_bwd_call(x02, x1, w1, w2, g1p, g2p, d):
             t1p.reshape(nb, 1, m * h1), (nb, d, m * h1)
         ).reshape(tr, m * h1)
         gx1 = None
-        q_parts, z_parts = [], []
+        q_parts = []
         for i in range(m):
             t1_i = t1[:, i * h1 : (i + 1) * h1]
             x0_i = x0[:, i : i + 1]
             contrib = t1_i.astype(jnp.float32) * x0_i.astype(jnp.float32)
             gx1 = contrib if gx1 is None else gx1 + contrib
             q_parts.append(t1_i * xk)
-            z_parts.append(xk * x0_i)
         gx1 = (gx1 + g1.astype(jnp.float32)).astype(jnp.bfloat16)
-        q = jnp.concatenate(q_parts, axis=1)
-        gx0_a = jnp.dot(q, ones_ref[:], preferred_element_type=jnp.float32)
-        z = jnp.concatenate(z_parts, axis=1)
-        # gw accumulated TRANSPOSED: a row-contraction dot transposes its
-        # FIRST operand in the Mosaic lowering, so pass the narrow one
-        # (g2, 0.13MB) and keep the wide pair tensor (z, 3.4MB) untouched —
-        # the wide-operand-first form relayouted ~1.7GB/step of VREGs
-        # (measured: bench/dot_orient_micro.py + the gw2dot ablation).
-        # One [h2, m·h1] -> flat [h1, m·h2] permute happens on the last
-        # grid step only.
-        gw2_step = jax.lax.dot_general(g2, z, (((0,), (0,)), ((), ())),
-                                       preferred_element_type=jnp.float32)
+        qq = jnp.concatenate(q_parts, axis=1)
+        gx0_a = jnp.dot(qq, ones_ref[:], preferred_element_type=jnp.float32)
+        # gw2 at example rank over the forward's saved pair-pool Q
+        # (bench/cin_r5d.py): 218M -> 13.6M MAC/tile. The XLA-einsum form
+        # of the same contraction regressed the step 0.55ms in-step — its
+        # bulk Q reads doubled the packed update kernel's sweep time; as a
+        # pipelined per-tile block input the traffic overlaps like any
+        # other kernel operand.
+        gw2_step = jax.lax.dot_general(
+            g2p_ref[:], q_ref[:], (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
 
         # ---- layer-1 backward (pair-first) ----
         e1 = jnp.dot(x0, ea_ref[:], preferred_element_type=jnp.float32).astype(jnp.bfloat16)
@@ -700,6 +746,7 @@ def _cin2_bwd_call(x02, x1, w1, w2, g1p, g2p, d):
         in_specs=[
             pl.BlockSpec((nb, h1), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((nb, h2), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((nb, m * h1), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((tr, m), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((tr, h1), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((h1, m * h2), lambda i: (0, 0), memory_space=pltpu.VMEM),
@@ -726,7 +773,7 @@ def _cin2_bwd_call(x02, x1, w1, w2, g1p, g2p, d):
             pltpu.VMEM((h2, m * h1), jnp.float32),  # gw2 transposed accumulate
         ],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_CIN2_VMEM),
-    )(g1p, g2p, x02, x1, w2, w1pt, ea, eb, oa, ob, ones_blk)
+    )(g1p, g2p, q, x02, x1, w2, w1pt, ea, eb, oa, ob, ones_blk)
     # pairs-layout gw back to the stored flat layout (free reshape of the
     # unpadded rows)
     gw1 = gw1p[: m * m, :].reshape(m, m * h1)
@@ -735,20 +782,20 @@ def _cin2_bwd_call(x02, x1, w1, w2, g1p, g2p, d):
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
 def _cin2_fused(x02, w1, w2, d):
-    x1, p1, p2 = _cin2_fwd_call(x02, w1, w2, d)
+    x1, p1, p2, q = _cin2_fwd_call(x02, w1, w2, d)
     return p1, p2
 
 
 def _cin2_fused_fwd(x02, w1, w2, d):
-    x1, p1, p2 = _cin2_fwd_call(x02, w1, w2, d)
-    return (p1, p2), (x02, x1, w1, w2)
+    x1, p1, p2, q = _cin2_fwd_call(x02, w1, w2, d)
+    return (p1, p2), (x02, x1, w1, w2, q)
 
 
 def _cin2_fused_bwd(d, res, gs):
-    x02, x1, w1, w2 = res
+    x02, x1, w1, w2, q = res
     g1p, g2p = gs
     gx0, gw1, gw2 = _cin2_bwd_call(
-        x02, x1, w1, w2,
+        x02, x1, w1, w2, q,
         g1p.astype(jnp.bfloat16), g2p.astype(jnp.bfloat16), d,
     )
     return gx0, gw1, gw2
