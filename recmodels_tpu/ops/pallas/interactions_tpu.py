@@ -477,8 +477,23 @@ _cin_layer_2d.defvjp(_cin_2d_fwd, _cin_2d_bwd)
 # x2, both pool reductions, and the pool-grad broadcasts never exist in
 # HBM.
 
-_CIN2_TR = 512
+_CIN2_TR = 512  # support granularity (rows % 512); kernels take 1024 when it fits
+# tr=1024 measured best for BOTH kernels post-Q-form (in-step ablation:
+# 512/512 13.71ms, 1024/512 13.61, 512/1024 13.56, 1024/1024 13.46 —
+# the Q-form shrank per-tile transients enough that the round-5 'tr1024
+# neutral' verdict no longer holds). Env overrides for racing.
+import os as _os
+_CIN2_FWD_TR = int(_os.environ.get("RECMODELS_CIN2_FWD_TR", 0))
+_CIN2_BWD_TR = int(_os.environ.get("RECMODELS_CIN2_BWD_TR", 0))
 _CIN2_VMEM = 64 * 2**20
+
+
+def _cin2_pick_tr(override: int, rows: int, d: int) -> int:
+    if override:
+        return override
+    if rows % 1024 == 0 and 1024 % d == 0:
+        return 1024
+    return _CIN2_TR
 
 
 def _cin2_supported(x02, w2s, d) -> bool:
@@ -567,7 +582,7 @@ def _cin2_fwd_call(x02, w1, w2, d):
     h1 = w1.shape[1] // m
     h2 = w2.shape[1] // m
     mp = -(-m * m // 128) * 128
-    tr = _CIN2_TR
+    tr = _cin2_pick_tr(_CIN2_FWD_TR, rows, d)
     nb = tr // d
     ea, eb, _, _ = _cin2_onehots(m)
     w1p = _w1_pairs(w1, m, h1, mp)
@@ -641,7 +656,7 @@ def _cin2_bwd_call(x02, x1, w1, w2, q, g1p, g2p, d):
     h1 = w1.shape[1] // m
     h2 = w2.shape[1] // m
     mp = -(-m * m // 128) * 128
-    tr = _CIN2_TR
+    tr = _cin2_pick_tr(_CIN2_BWD_TR, rows, d)
     nb = tr // d
     ea, eb, oa, ob = _cin2_onehots(m)
     w1pt = _w1_pairs(w1, m, h1, mp).T  # [h1, mp]: NN orientation for gp
