@@ -488,12 +488,16 @@ _CIN2_BWD_TR = int(_os.environ.get("RECMODELS_CIN2_BWD_TR", 0))
 _CIN2_VMEM = 64 * 2**20
 
 
-def _cin2_pick_tr(override: int, rows: int, d: int) -> int:
+def _cin2_pick_tr(override: int, rows: int, d: int, best: int = 1024) -> int:
+    # fwd best 1024, bwd best 2048 (in-step ablation at the flagship:
+    # fwd 2048 regressed 13.46 -> 13.71ms, bwd 2048 13.46 -> 13.41,
+    # bwd 4096 exceeds the 64MB scoped VMEM)
     if override:
         return override
-    if rows % 1024 == 0 and 1024 % d == 0:
-        return 1024
-    return _CIN2_TR
+    tr = best
+    while tr > _CIN2_TR and (rows % tr or tr % d):
+        tr //= 2
+    return tr if rows % tr == 0 and tr % d == 0 else _CIN2_TR
 
 
 def _cin2_supported(x02, w2s, d) -> bool:
@@ -656,7 +660,7 @@ def _cin2_bwd_call(x02, x1, w1, w2, q, g1p, g2p, d):
     h1 = w1.shape[1] // m
     h2 = w2.shape[1] // m
     mp = -(-m * m // 128) * 128
-    tr = _cin2_pick_tr(_CIN2_BWD_TR, rows, d)
+    tr = _cin2_pick_tr(_CIN2_BWD_TR, rows, d, best=2048)
     nb = tr // d
     ea, eb, oa, ob = _cin2_onehots(m)
     w1pt = _w1_pairs(w1, m, h1, mp).T  # [h1, mp]: NN orientation for gp
